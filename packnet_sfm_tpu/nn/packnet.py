@@ -1,0 +1,181 @@
+"""PackNet depth networks (CVPR'20), flax.linen, NHWC.
+
+Capability parity with reference networks/depth/PackNet01.py and
+PackNetSlim01.py plus the 3D pack/unpack layers (layers01.py:213-287),
+re-designed TPU-first:
+
+- space-to-depth / depth-to-space are pure layout ops fused by XLA
+  (ops/packing.py); the 3D conv runs channels-last so its contraction lands
+  on the MXU.
+- A fused Pallas pack-conv kernel can replace the XLA path via use_pallas
+  (ops/pallas/), validated against this reference implementation.
+
+Architecture summary (PackNet01, version A/B, PackNet01.py:25-104):
+encoder = pre_calc Conv(5) -> [conv_i (residual) -> pack_i] x5 with channels
+(64, 64, 64, 128, 256, 512); decoder = 5 unpack stages with skip concat (A)
+or add (B) + iconv + 4 InvDepth heads.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from packnet_sfm_tpu.nn.layers import Conv2dBlock, InvDepthHead, ResidualBlock, _conv_init
+from packnet_sfm_tpu.ops.packing import depth_to_space, space_to_depth
+from packnet_sfm_tpu.ops.image import interpolate_image
+
+
+class PackLayerConv3d(nn.Module):
+    """Pack: space-to-depth -> 3D conv over packed channels -> 2D conv.
+
+    Parity: layers01.py:213-247. Input [B, H, W, C] -> [B, H/2, W/2, C].
+    The 3D conv treats the packed-channel axis as depth; channels-last here
+    means its contraction maps onto the MXU without layout shuffles.
+    """
+
+    features: int        # in == out channel count C
+    kernel_size: int
+    r: int = 2
+    d: int = 8           # number of 3D features
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = space_to_depth(x, self.r)                      # [B, H/r, W/r, C*r*r]
+        cp = x.shape[-1]
+        # 3D conv over (depth=packed-channel, H, W) with 1 input channel:
+        # NDHWC = [B, Cp, H, W, 1] -> [B, Cp, H, W, d]
+        x3 = nn.Conv(self.d, (3, 3, 3), padding=[(1, 1), (1, 1), (1, 1)],
+                     kernel_init=_conv_init)(x[..., None].transpose(0, 3, 1, 2, 4))
+        # fold (d major, packed-channel minor) to match reference channel order
+        # (layers01.py:244-245: view(b, c3d*Cp, h, w))
+        b, _, h, w, _ = x3.shape
+        x = x3.transpose(0, 2, 3, 4, 1).reshape(b, h, w, self.d * cp)
+        return Conv2dBlock(self.features, self.kernel_size, 1)(x)
+
+
+class UnpackLayerConv3d(nn.Module):
+    """Unpack: 2D conv -> 3D conv -> depth-to-space upsample.
+
+    Parity: layers01.py:250-286. Input [B, H, W, C] -> [B, rH, rW, out].
+    """
+
+    features: int        # output channels
+    kernel_size: int
+    r: int = 2
+    d: int = 8
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        mid = self.features * self.r * self.r // self.d
+        x = Conv2dBlock(mid, self.kernel_size, 1)(x)       # [B, H, W, out*r*r/d]
+        x3 = nn.Conv(self.d, (3, 3, 3), padding=[(1, 1), (1, 1), (1, 1)],
+                     kernel_init=_conv_init)(x[..., None].transpose(0, 3, 1, 2, 4))
+        b, _, h, w, _ = x3.shape
+        x = x3.transpose(0, 2, 3, 4, 1).reshape(b, h, w, self.d * mid)
+        return depth_to_space(x, self.r)
+
+
+class PackNetBase(nn.Module):
+    """Shared PackNet01/Slim01 topology; channel plan set by subclass fields.
+
+    version: 'A' (skip concat) or 'B' (skip add), reference PackNet01.py:41-54.
+    """
+
+    version: str = "A"
+    dropout: Optional[float] = None
+    ni: int = 64
+    channels: Tuple[int, int, int, int, int] = (64, 64, 128, 256, 512)
+    num_blocks: Tuple[int, int, int, int] = (2, 2, 3, 3)
+    num_3d_feat: int = 8
+    out_channels: int = 1
+
+    @nn.compact
+    def __call__(self, rgb: jnp.ndarray, *, train: bool = True) -> list:
+        v = self.version
+        no = self.out_channels
+        ni = self.ni
+        n1, n2, n3, n4, n5 = self.channels
+        d = self.num_3d_feat
+        pack_kernel = (5, 3, 3, 3, 3)
+        unpack_kernel = (3, 3, 3, 3, 3)
+        iconv_kernel = (3, 3, 3, 3, 3)
+
+        if v == "A":  # concat skips
+            n1o, n1i = n1, n1 + ni + no
+            n2o, n2i = n2, n2 + n1 + no
+            n3o, n3i = n3, n3 + n2 + no
+            n4o, n4i = n4, n4 + n3
+            n5o, n5i = n5, n5 + n4
+        elif v == "B":  # add skips
+            n1o, n1i = n1, n1 + no
+            n2o, n2i = n2, n2 + no
+            n3o, n3i = n3 // 2, n3 // 2 + no
+            n4o, n4i = n4 // 2, n4 // 2
+            n5o, n5i = n5 // 2, n5 // 2
+        else:
+            raise ValueError(f"Unknown PackNet version {v}")
+
+        x = Conv2dBlock(ni, 5, 1, name="pre_calc")(rgb)
+
+        # Encoder: conv_i -> pack_i
+        x1 = Conv2dBlock(n1, 7, 1, name="conv1")(x)
+        x1p = PackLayerConv3d(n1, pack_kernel[0], d=d, name="pack1")(x1)
+        x2 = ResidualBlock(n2, self.num_blocks[0], 1, self.dropout, name="conv2")(x1p, train=train)
+        x2p = PackLayerConv3d(n2, pack_kernel[1], d=d, name="pack2")(x2)
+        x3 = ResidualBlock(n3, self.num_blocks[1], 1, self.dropout, name="conv3")(x2p, train=train)
+        x3p = PackLayerConv3d(n3, pack_kernel[2], d=d, name="pack3")(x3)
+        x4 = ResidualBlock(n4, self.num_blocks[2], 1, self.dropout, name="conv4")(x3p, train=train)
+        x4p = PackLayerConv3d(n4, pack_kernel[3], d=d, name="pack4")(x4)
+        x5 = ResidualBlock(n5, self.num_blocks[3], 1, self.dropout, name="conv5")(x4p, train=train)
+        x5p = PackLayerConv3d(n5, pack_kernel[4], d=d, name="pack5")(x5)
+
+        skip1, skip2, skip3, skip4, skip5 = x, x1p, x2p, x3p, x4p
+
+        def merge(up, skip):
+            return jnp.concatenate([up, skip], axis=-1) if v == "A" else up + skip
+
+        # Decoder
+        unpack5 = UnpackLayerConv3d(n5o, unpack_kernel[0], d=d, name="unpack5")(x5p)
+        iconv5 = Conv2dBlock(n5, iconv_kernel[0], 1, name="iconv5")(merge(unpack5, skip5))
+
+        unpack4 = UnpackLayerConv3d(n4o, unpack_kernel[1], d=d, name="unpack4")(iconv5)
+        iconv4 = Conv2dBlock(n4, iconv_kernel[1], 1, name="iconv4")(merge(unpack4, skip4))
+        disp4 = InvDepthHead(no, name="disp4")(iconv4)
+        udisp4 = interpolate_image(disp4, (disp4.shape[1] * 2, disp4.shape[2] * 2), mode="nearest")
+
+        unpack3 = UnpackLayerConv3d(n3o, unpack_kernel[2], d=d, name="unpack3")(iconv4)
+        concat3 = jnp.concatenate([merge(unpack3, skip3), udisp4], axis=-1) if v == "B" else \
+            jnp.concatenate([unpack3, skip3, udisp4], axis=-1)
+        iconv3 = Conv2dBlock(n3, iconv_kernel[2], 1, name="iconv3")(concat3)
+        disp3 = InvDepthHead(no, name="disp3")(iconv3)
+        udisp3 = interpolate_image(disp3, (disp3.shape[1] * 2, disp3.shape[2] * 2), mode="nearest")
+
+        unpack2 = UnpackLayerConv3d(n2o, unpack_kernel[3], d=d, name="unpack2")(iconv3)
+        concat2 = jnp.concatenate([merge(unpack2, skip2), udisp3], axis=-1) if v == "B" else \
+            jnp.concatenate([unpack2, skip2, udisp3], axis=-1)
+        iconv2 = Conv2dBlock(n2, iconv_kernel[3], 1, name="iconv2")(concat2)
+        disp2 = InvDepthHead(no, name="disp2")(iconv2)
+        udisp2 = interpolate_image(disp2, (disp2.shape[1] * 2, disp2.shape[2] * 2), mode="nearest")
+
+        unpack1 = UnpackLayerConv3d(n1o, unpack_kernel[4], d=d, name="unpack1")(iconv2)
+        concat1 = jnp.concatenate([merge(unpack1, skip1), udisp2], axis=-1) if v == "B" else \
+            jnp.concatenate([unpack1, skip1, udisp2], axis=-1)
+        iconv1 = Conv2dBlock(n1, iconv_kernel[4], 1, name="iconv1")(concat1)
+        disp1 = InvDepthHead(no, name="disp1")(iconv1)
+
+        return [disp1, disp2, disp3, disp4]
+
+
+class PackNet01(PackNetBase):
+    """PackNet01 (PackNet01.py:8): ni=64, channels (64,64,128,256,512), d=8."""
+
+
+class PackNetSlim01(PackNetBase):
+    """PackNetSlim01 (PackNetSlim01.py): ni=32, n1=32, d=4."""
+
+    ni: int = 32
+    channels: Tuple[int, int, int, int, int] = (32, 64, 128, 256, 512)
+    num_3d_feat: int = 4
