@@ -31,7 +31,7 @@ class PoseNet(nn.Module):
     nb_ref_imgs: int = 2
 
     @nn.compact
-    def __call__(self, image: jnp.ndarray, context: list) -> jnp.ndarray:
+    def __call__(self, image: jnp.ndarray, context: list, *, train: bool = True) -> jnp.ndarray:
         assert len(context) == self.nb_ref_imgs
         x = jnp.concatenate([image] + list(context), axis=-1)
         channels = (16, 32, 64, 128, 256, 256, 256)
