@@ -1,0 +1,65 @@
+"""Benchmark: PackNet01 self-sup training throughput on the real chip.
+
+Proxy for the reference's train_kitti.yaml hot loop (PackNet01 1A + PoseNet,
+192x640, batch 4/chip — BASELINE.md throughput proxy). The reference
+publishes no speed numbers (BASELINE.md), so vs_baseline is the ratio against
+a fixed nominal 10 imgs/s/GPU working figure for the reference's documented
+hardware class.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+from __graft_entry__ import _flagship_model, _synthetic_batch
+
+NOMINAL_REFERENCE_IMGS_PER_SEC = 10.0
+BATCH, H, W = 4, 192, 640
+WARMUP, ITERS = 3, 10
+
+
+def main():
+    from packnet_sfm_tpu.engine.factory import make_optimizer
+    from packnet_sfm_tpu.engine.train import TrainState, make_train_step
+    from packnet_sfm_tpu.models.sfm import init_model
+    from packnet_sfm_tpu.parallel.mesh import make_mesh, shard_batch
+
+    cfg, model = _flagship_model()
+    cfg.arch.dtype = "bfloat16"
+    mesh = make_mesh()
+    n_chips = mesh.devices.size
+
+    batch = _synthetic_batch(BATCH * n_chips, H, W)
+    variables = init_model(model, jax.random.PRNGKey(0), batch)
+    tx = make_optimizer(cfg.model.optimizer, cfg.model.scheduler, steps_per_epoch=100)
+    state = TrainState.create(variables, tx)
+    step = make_train_step(model, tx, mesh, compute_dtype=jax.numpy.bfloat16)
+    sharded = shard_batch(batch, mesh)
+
+    for i in range(WARMUP):
+        state, metrics = step(state, sharded, jax.random.PRNGKey(i))
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        state, metrics = step(state, sharded, jax.random.PRNGKey(100 + i))
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec_per_chip = BATCH * n_chips * ITERS / dt / n_chips
+    print(json.dumps({
+        "metric": "packnet01_selfsup_192x640_train_imgs_per_sec_per_chip",
+        "value": round(imgs_per_sec_per_chip, 3),
+        "unit": "imgs/s/chip",
+        "vs_baseline": round(imgs_per_sec_per_chip / NOMINAL_REFERENCE_IMGS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

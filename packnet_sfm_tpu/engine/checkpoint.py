@@ -1,0 +1,96 @@
+"""Checkpointing: orbax-backed save/restore with embedded config and top-k
+retention.
+
+Capability parity with reference models/model_checkpoint.py: monitored-metric
+ranking with auto min/max direction ('a1'/'acc' -> max, model_checkpoint.py:
+44-54), top-k retention, epoch-templated names, and full-state restoration
+(config + epoch + params + optimizer + scheduler state — the schedule here is
+a pure function of step, so restoring ``step`` restores it exactly).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _mode_for(monitor: str, mode: str) -> str:
+    if mode != "auto":
+        return mode
+    return "max" if ("a1" in monitor or "acc" in monitor) else "min"
+
+
+class ModelCheckpoint:
+    """Top-k checkpoint manager keyed on a monitored metric."""
+
+    def __init__(self, dirpath: str, monitor: str = "loss", save_top_k: int = 5,
+                 mode: str = "auto"):
+        self.dirpath = os.path.abspath(dirpath)
+        os.makedirs(self.dirpath, exist_ok=True)
+        self.monitor = monitor
+        self.save_top_k = save_top_k
+        self.mode = _mode_for(monitor, mode)
+        self._saved: list[tuple[float, str]] = []
+        self._ckpt = ocp.StandardCheckpointer()
+
+    def _is_better(self, value: float, worst: float) -> bool:
+        return value > worst if self.mode == "max" else value < worst
+
+    def check_and_save(self, state, config: Dict, epoch: int,
+                       metrics: Dict[str, float]) -> Optional[str]:
+        """Save if within top-k by the monitored metric; returns path or None.
+
+        Parity: reference model_checkpoint.py:94-130 (``check_and_save``).
+        """
+        value = float(metrics.get(self.monitor, metrics.get("loss", 0.0)))
+        if self.save_top_k > 0 and len(self._saved) >= self.save_top_k:
+            worst = self._saved[-1][0]
+            if not self._is_better(value, worst):
+                return None
+        name = f"epoch={epoch:02d}_{self.monitor.replace('/', '-')}={value:.3f}.ckpt"
+        path = os.path.join(self.dirpath, name)
+        save_checkpoint(path, state, config, epoch, value)
+        self._saved.append((value, path))
+        self._saved.sort(key=lambda kv: kv[0], reverse=(self.mode == "max"))
+        while self.save_top_k > 0 and len(self._saved) > self.save_top_k:
+            _, old = self._saved.pop()
+            shutil.rmtree(old, ignore_errors=True)
+        return path
+
+
+def save_checkpoint(path: str, state, config: Dict, epoch: int,
+                    monitor_value: float = 0.0) -> str:
+    """Write a checkpoint directory: orbax state + meta.json (embedded config,
+    reference utils/config.py:216-220 capability)."""
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(os.path.join(path, "state"), jax.device_get(state))
+    ckpt.wait_until_finished()
+    meta = {"config": config, "epoch": epoch, "monitor_value": monitor_value,
+            "step": int(jax.device_get(state.step))}
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2, default=str)
+    return path
+
+
+def restore_checkpoint(path: str, target_state=None):
+    """Restore (state, meta). With ``target_state`` the pytree structure and
+    shardings of the target are reused (required under jit/mesh)."""
+    path = os.path.abspath(path)
+    ckpt = ocp.StandardCheckpointer()
+    if target_state is not None:
+        abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, target_state)
+        state = ckpt.restore(os.path.join(path, "state"), abstract)
+    else:
+        state = ckpt.restore(os.path.join(path, "state"))
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    return state, meta

@@ -15,6 +15,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: repeated test runs skip XLA recompiles.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # Minimal yacs stub so the reference implementation at /root/reference can be
 # imported as a parity oracle in tests (yacs itself is not installed here).

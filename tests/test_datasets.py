@@ -1,0 +1,119 @@
+"""Dataset tests against a fabricated on-disk mini-KITTI tree."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from packnet_sfm_tpu.datasets.kitti import KITTIDataset
+from packnet_sfm_tpu.datasets.loader import make_transform
+from packnet_sfm_tpu.core.config import get_default_config
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    """Build a minimal KITTI raw tree: drive with 6 frames, calib, oxts,
+    velodyne npz depth for the left camera."""
+    root = tmp_path_factory.mktemp("KITTI_raw")
+    date = "2011_09_26"
+    drive = f"{date}_drive_0001_sync"
+    img_dir = root / date / drive / "image_02" / "data"
+    oxts_dir = root / date / drive / "oxts" / "data"
+    depth_dir = root / date / drive / "proj_depth" / "velodyne" / "image_02"
+    for d in (img_dir, oxts_dir, depth_dir):
+        os.makedirs(d)
+
+    rng = np.random.default_rng(0)
+    h, w = 48, 64
+    for i in range(6):
+        arr = (rng.uniform(size=(h, w, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(img_dir / f"{i:010d}.png")
+        # oxts: lat, lon, alt, roll, pitch, yaw + 24 zeros
+        vals = [49.0 + i * 1e-5, 8.43 + i * 2e-5, 110.0 + 0.01 * i,
+                0.01 * i, 0.02, 0.5 + 0.001 * i] + [0.0] * 24
+        np.savetxt(oxts_dir / f"{i:010d}.txt", [vals], delimiter=" ")
+        depth = rng.uniform(0, 80, size=(h, w)).astype(np.float32)
+        depth[depth < 40] = 0
+        np.savez_compressed(depth_dir / f"{i:010d}.npz", velodyne_depth=depth)
+
+    calib = root / date
+    P = "7.215377e+02 0.000000e+00 6.095593e+02 0.000000e+00 " \
+        "0.000000e+00 7.215377e+02 1.728540e+02 0.000000e+00 " \
+        "0.000000e+00 0.000000e+00 1.000000e+00 0.000000e+00"
+    R = "9.999239e-01 9.837760e-03 -7.445048e-03 -9.869795e-03 9.999421e-01 -4.278459e-03 7.402527e-03 4.351614e-03 9.999631e-01"
+    with open(calib / "calib_cam_to_cam.txt", "w") as f:
+        f.write(f"P_rect_02: {P}\nP_rect_03: {P}\nR_rect_00: {R}\n")
+    with open(calib / "calib_velo_to_cam.txt", "w") as f:
+        f.write(f"R: {R}\nT: -4.069766e-03 -7.631618e-02 -2.717806e-01\n")
+    with open(calib / "calib_imu_to_velo.txt", "w") as f:
+        f.write(f"R: {R}\nT: -8.086759e-01 3.195559e-01 -7.997231e-01\n")
+
+    split = root / "split.txt"
+    with open(split, "w") as f:
+        for i in range(6):
+            f.write(f"{date}/{drive}/image_02/data/{i:010d}.png\n")
+    return root, split
+
+
+class TestKITTI:
+    def test_basic_sample(self, kitti_root):
+        root, split = kitti_root
+        ds = KITTIDataset(str(root), str(split), depth_type="velodyne")
+        assert len(ds) == 6
+        s = ds[0]
+        assert s["rgb"].shape == (48, 64, 3)
+        assert s["rgb"].dtype == np.float32
+        assert s["intrinsics"].shape == (3, 3)
+        assert np.isclose(s["intrinsics"][0, 0], 721.5377)
+        assert s["depth"].shape == (48, 64, 1)
+
+    def test_context_discovery(self, kitti_root):
+        root, split = kitti_root
+        ds = KITTIDataset(str(root), str(split), depth_type="velodyne",
+                          back_context=1, forward_context=1)
+        # frames 0 and 5 lack context -> 4 samples
+        assert len(ds) == 4
+        s = ds[0]
+        assert len(s["rgb_context"]) == 2
+        assert s["rgb_context"][0].shape == (48, 64, 3)
+
+    def test_pose_chain(self, kitti_root):
+        root, split = kitti_root
+        ds = KITTIDataset(str(root), str(split), depth_type="velodyne",
+                          with_pose=True, back_context=1, forward_context=1)
+        s = ds[1]
+        assert s["pose"].shape == (4, 4)
+        assert len(s["pose_context"]) == 2
+        for T in s["pose_context"]:
+            # small relative motion, valid SE(3)
+            np.testing.assert_allclose(
+                T[:3, :3] @ T[:3, :3].T, np.eye(3), atol=1e-5)
+            assert np.linalg.norm(T[:3, 3]) < 10.0
+
+    def test_train_transform_pipeline(self, kitti_root):
+        root, split = kitti_root
+        aug = get_default_config().datasets.augmentation
+        aug.image_shape = (32, 48)
+        tfm = make_transform("train", aug, seed=1)
+        ds = KITTIDataset(str(root), str(split), depth_type="velodyne",
+                          back_context=1, forward_context=1, data_transform=tfm)
+        s = ds[0]
+        assert s["rgb"].shape == (32, 48, 3)
+        assert "rgb_original" in s and s["rgb_original"].shape == (32, 48, 3)
+        assert len(s["rgb_context_original"]) == 2
+        assert s["depth"].shape == (32, 48, 1)
+        # jitter changed rgb but not original
+        assert not np.allclose(s["rgb"], s["rgb_original"])
+        # intrinsics rescaled
+        assert s["intrinsics"][0, 0] < 721.0
+
+    def test_transform_deterministic_per_index(self, kitti_root):
+        root, split = kitti_root
+        aug = get_default_config().datasets.augmentation
+        aug.image_shape = (32, 48)
+        tfm = make_transform("train", aug, seed=1)
+        ds = KITTIDataset(str(root), str(split), depth_type="velodyne",
+                          data_transform=tfm)
+        a, b = ds[2], ds[2]
+        np.testing.assert_array_equal(a["rgb"], b["rgb"])
