@@ -42,14 +42,16 @@ def main():
     step = make_train_step(model, tx, mesh, compute_dtype=jax.numpy.bfloat16)
     sharded = shard_batch(batch, mesh)
 
+    # NOTE: sync via host fetch of the loss — on the axon-tunneled platform
+    # block_until_ready does not actually wait for execution.
     for i in range(WARMUP):
         state, metrics = step(state, sharded, jax.random.PRNGKey(i))
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
 
     t0 = time.perf_counter()
     for i in range(ITERS):
         state, metrics = step(state, sharded, jax.random.PRNGKey(100 + i))
-    jax.block_until_ready(metrics["loss"])
+    assert np.isfinite(float(metrics["loss"]))  # forces all steps to complete
     dt = time.perf_counter() - t0
 
     imgs_per_sec_per_chip = BATCH * n_chips * ITERS / dt / n_chips

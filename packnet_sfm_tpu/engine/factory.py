@@ -27,7 +27,8 @@ from packnet_sfm_tpu.nn import (
 )
 from packnet_sfm_tpu.engine.metrics import DepthMetricsConfig
 
-MODEL_KINDS = ("SfmModel", "SelfSupModel", "SemiSupModel", "VelSupModel")
+MODEL_KINDS = ("SfmModel", "SelfSupModel", "SemiSupModel", "VelSupModel",
+               "SemiSupCompletionModel", "GenericSfmModel", "GenericSelfSupModel")
 
 
 def setup_depth_net(cfg: ConfigNode):
@@ -44,6 +45,9 @@ def setup_depth_net(cfg: ConfigNode):
     if name == "PackNetSAN01":
         from packnet_sfm_tpu.nn.packnet_san import PackNetSAN01
         return PackNetSAN01(version=version[1:] or "A", dropout=dropout)
+    if name == "RaySurfaceResNet":
+        from packnet_sfm_tpu.nn.raysurface import RaySurfaceResNet
+        return RaySurfaceResNet(version=version.replace("pt", "") or "18")
     raise ValueError(f"Unknown depth net {name}")
 
 
@@ -83,17 +87,37 @@ def setup_model(cfg: ConfigNode) -> SfmModelDef:
     )
     if cfg.name not in MODEL_KINDS:
         raise ValueError(f"Unknown model {cfg.name}")
+    input_keys = (("rgb", "input_depth", "intrinsics")
+                  if cfg.name == "SemiSupCompletionModel" else ("rgb",))
+    generic_photometric = None
+    flip_lr_prob = loss.flip_lr_prob
+    if cfg.name.startswith("Generic"):
+        from packnet_sfm_tpu.losses.generic_photometric import \
+            GenericPhotometricConfig
+        generic_photometric = GenericPhotometricConfig(
+            num_scales=1,
+            ssim_loss_weight=loss.ssim_loss_weight,
+            smooth_loss_weight=loss.smooth_loss_weight,
+            photometric_reduce_op=loss.photometric_reduce_op,
+            clip_loss=loss.clip_loss,
+            automask_loss=loss.automask_loss,
+            padding_mode=loss.padding_mode,
+        )
+        flip_lr_prob = 0.0  # reference GenericSfmModel has no flip TTA
     return SfmModelDef(
         depth_net=depth_net,
         pose_net=pose_net,
         kind=cfg.name,
         photometric=photometric,
+        generic_photometric=generic_photometric,
         supervised=supervised,
         supervised_loss_weight=loss.supervised_loss_weight,
         velocity_loss_weight=loss.velocity_loss_weight,
+        weight_rgbd=loss.get("weight_rgbd", 1.0),
         rotation_mode=loss.rotation_mode,
-        flip_lr_prob=loss.flip_lr_prob,
+        flip_lr_prob=flip_lr_prob,
         upsample_depth_maps=loss.upsample_depth_maps,
+        input_keys=input_keys,
     )
 
 

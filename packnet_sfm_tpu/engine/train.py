@@ -75,19 +75,20 @@ def make_train_step(
     sharded on their leading axis; state and metrics are replicated.
     """
 
-    def loss_fn(params, state: TrainState, batch, rng):
+    def loss_fn(params, state: TrainState, batch, rng, progress):
         variables = {"params": params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
         if compute_dtype != jnp.float32:
             batch = _cast_tree(batch, compute_dtype)
         loss, (metrics, _out, updates) = model_loss(
-            model, variables, batch, rng, num_scales=num_scales)
+            model, variables, batch, rng, num_scales=num_scales,
+            progress=progress)
         return loss.astype(jnp.float32), (metrics, updates)
 
-    def step(state: TrainState, batch, rng):
+    def step(state: TrainState, batch, rng, progress):
         (_, (metrics, updates)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state, batch, rng)
+            loss_fn, has_aux=True)(state.params, state, batch, rng, progress)
         grad_updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, grad_updates)
         new_stats = updates.get("batch_stats", state.batch_stats)
@@ -102,12 +103,17 @@ def make_train_step(
 
     repl = replicate_sharding(mesh)
     data = batch_sharding(mesh)
-    return jax.jit(
+    jitted = jax.jit(
         step,
-        in_shardings=(repl, data, repl),
+        in_shardings=(repl, data, repl, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
+
+    def call(state, batch, rng, progress=0.0):
+        return jitted(state, batch, rng, jnp.asarray(progress, jnp.float32))
+
+    return call
 
 
 def make_eval_step(

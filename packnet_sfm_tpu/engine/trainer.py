@@ -134,7 +134,7 @@ class Trainer:
                 rng = jax.random.PRNGKey(
                     np.random.SeedSequence([self.seed, epoch, i]).generate_state(1)[0])
                 sharded = shard_batch(_device_batch(batch), self.mesh)
-                self.state, metrics = step_fn(self.state, sharded, rng)
+                self.state, metrics = step_fn(self.state, sharded, rng, progress)
                 count += 1
                 images += batch["rgb"].shape[0]
                 for k, v in metrics.items():

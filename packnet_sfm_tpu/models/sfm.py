@@ -28,7 +28,10 @@ from packnet_sfm_tpu.losses.supervised import SupervisedLossConfig, supervised_l
 from packnet_sfm_tpu.losses.velocity import velocity_loss
 from packnet_sfm_tpu.ops.image import flip_lr, interpolate_image
 
-SELF_SUP_KINDS = ("SelfSupModel", "SemiSupModel", "VelSupModel")
+SELF_SUP_KINDS = ("SelfSupModel", "SemiSupModel", "VelSupModel",
+                  "SemiSupCompletionModel")
+SUPERVISED_KINDS = ("SemiSupModel", "SemiSupCompletionModel")
+GENERIC_KINDS = ("GenericSfmModel", "GenericSelfSupModel")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -36,22 +39,27 @@ class SfmModelDef:
     """Static model definition (networks are flax modules; hashable config).
 
     kind:
-      'SfmModel'      — inference only (no loss)
-      'SelfSupModel'  — photometric loss (reference SelfSupModel.py)
-      'SemiSupModel'  — (1-w)*selfsup + w*supervised (SemiSupModel.py:72-112)
-      'VelSupModel'   — selfsup + w_vel*velocity (VelSupModel.py:28-52)
+      'SfmModel'               — inference only (no loss)
+      'SelfSupModel'           — photometric loss (reference SelfSupModel.py)
+      'SemiSupModel'           — (1-w)*selfsup + w*supervised (SemiSupModel.py)
+      'SemiSupCompletionModel' — SemiSup + rgbd branch + consistency loss
+                                 (SemiSupCompletionModel.py:75-123)
+      'VelSupModel'            — selfsup + w_vel*velocity (VelSupModel.py)
     """
 
     depth_net: Any
     pose_net: Optional[Any]
     kind: str = "SelfSupModel"
     photometric: MultiViewPhotometricConfig = MultiViewPhotometricConfig()
+    generic_photometric: Any = None      # GenericPhotometricConfig for NRS kinds
     supervised: SupervisedLossConfig = SupervisedLossConfig()
     supervised_loss_weight: float = 0.9
     velocity_loss_weight: float = 0.1
+    weight_rgbd: float = 1.0
     rotation_mode: str = "euler"
     flip_lr_prob: float = 0.5
     upsample_depth_maps: bool = False
+    input_keys: tuple = ("rgb",)
 
 
 def init_model(model: SfmModelDef, rng: jax.Array, batch: Dict) -> Dict:
@@ -63,7 +71,9 @@ def init_model(model: SfmModelDef, rng: jax.Array, batch: Dict) -> Dict:
     """
     k_depth, k_pose = jax.random.split(rng)
     variables: Dict = {}
-    dv = model.depth_net.init(k_depth, batch["rgb"], train=True)
+    extra = {k: batch[k] for k in model.input_keys
+             if k not in ("rgb", "intrinsics") and k in batch}
+    dv = model.depth_net.init(k_depth, batch["rgb"], train=True, **extra)
     for coll, tree in dv.items():
         variables.setdefault(coll, {})["depth_net"] = tree
     if model.pose_net is not None and "rgb_context" in batch:
@@ -83,27 +93,51 @@ def _apply_net(net, variables, *args, train: bool, rngs=None, **kwargs):
     return net.apply(variables, *args, train=train, rngs=rngs, **kwargs), {}
 
 
-def _depth_with_flip(model: SfmModelDef, variables, rgb, rng, train: bool):
+def _normalize_depth_output(out) -> Dict:
+    """Depth nets return either a scale list or a dict (PackNetSAN)."""
+    if isinstance(out, dict):
+        return dict(out)
+    if not isinstance(out, (list, tuple)):
+        out = [out]
+    return {"inv_depths": list(out)}
+
+
+def _flip_depth_output(out: Dict, do_flip) -> Dict:
+    flipped = dict(out)
+    for key in ("inv_depths", "inv_depths_rgbd"):
+        if key in flipped:
+            flipped[key] = [jnp.where(do_flip, flip_lr(d), d)
+                            for d in flipped[key]]
+    return flipped
+
+
+def _depth_with_flip(model: SfmModelDef, variables, batch: Dict, rng, train: bool):
     """Depth forward with random lr-flip TTA (SfmModel.py:53-89).
 
     Runs the net once on a selected (maybe-flipped) input and un-flips the
     outputs with the same predicate — two cheap selects instead of a cond.
+    The flip mirrors every image-like input key (reference flip_batch_input,
+    model_utils.py:97-124).
     """
+    inputs = {k: batch[k] for k in model.input_keys
+              if k != "intrinsics" and k in batch}
+    args = [inputs.pop("rgb")]
     if train and model.flip_lr_prob > 0.0 and rng is not None:
         do_flip = jax.random.bernoulli(rng, model.flip_lr_prob)
-        rgb_in = jnp.where(do_flip, flip_lr(rgb), rgb)
-        inv_depths, updates = _apply_net(
-            model.depth_net, variables, rgb_in, train=train)
-        inv_depths = [jnp.where(do_flip, flip_lr(d), d) for d in inv_depths]
+        args = [jnp.where(do_flip, flip_lr(args[0]), args[0])]
+        kwargs = {k: jnp.where(do_flip, flip_lr(v), v) for k, v in inputs.items()}
+        raw, updates = _apply_net(
+            model.depth_net, variables, *args, train=train, **kwargs)
+        out = _flip_depth_output(_normalize_depth_output(raw), do_flip)
     else:
-        inv_depths, updates = _apply_net(
-            model.depth_net, variables, rgb, train=train)
-    if not isinstance(inv_depths, (list, tuple)):
-        inv_depths = [inv_depths]
+        raw, updates = _apply_net(
+            model.depth_net, variables, *args, train=train, **inputs)
+        out = _normalize_depth_output(raw)
     if train and model.upsample_depth_maps:
-        full = inv_depths[0].shape[1:3]
-        inv_depths = [interpolate_image(d, full, mode="nearest") for d in inv_depths]
-    return list(inv_depths), updates
+        full = out["inv_depths"][0].shape[1:3]
+        out["inv_depths"] = [interpolate_image(d, full, mode="nearest")
+                             for d in out["inv_depths"]]
+    return out, updates
 
 
 def model_forward(
@@ -121,9 +155,9 @@ def model_forward(
     Parity: reference SfmModel.forward:98-127.
     """
     depth_vars = {k: v["depth_net"] for k, v in variables.items() if "depth_net" in v}
-    inv_depths, depth_updates = _depth_with_flip(
-        model, depth_vars, batch["rgb"], rng, train)
-    out: Dict = {"inv_depths": inv_depths, "poses": None}
+    depth_out, depth_updates = _depth_with_flip(
+        model, depth_vars, batch, rng, train)
+    out: Dict = {**depth_out, "poses": None}
     updates: Dict = {}
     for coll, upd in depth_updates.items():
         updates.setdefault(coll, {})["depth_net"] = upd
@@ -153,11 +187,13 @@ def model_loss(
     batch: Dict,
     rng: Optional[jax.Array] = None,
     num_scales: Optional[int] = None,
+    progress=0.0,
 ) -> tuple[jnp.ndarray, tuple[Dict, Dict, Dict]]:
     """Training loss for the model's kind.
 
     ``num_scales`` (static) overrides the photometric scale count — the
-    trainer resolves the progressive schedule host-side.
+    trainer resolves the progressive schedule host-side. ``progress`` may be
+    a traced scalar (used smoothly by the generic/NRS loss annealing).
     Returns (loss, (metrics, output, variable_updates)).
     """
     out, updates = model_forward(model, variables, batch, rng, train=True)
@@ -168,8 +204,31 @@ def model_loss(
     if num_scales is not None and num_scales != photo_cfg.num_scales:
         photo_cfg = dataclasses.replace(photo_cfg, num_scales=num_scales)
 
+    if model.kind == "GenericSelfSupModel":
+        from packnet_sfm_tpu.geometry.camera_generic import canonical_pinhole_rays
+        from packnet_sfm_tpu.losses.generic_photometric import (
+            GenericPhotometricConfig, generic_multiview_photometric_loss)
+        gcfg = model.generic_photometric or GenericPhotometricConfig()
+        h, w = batch["rgb"].shape[1:3]
+        canonical = canonical_pinhole_rays(h, w)
+        temperature = jnp.maximum(1e-8, 1e-4 / jnp.exp(0.1 * progress))
+        g_loss, g_metrics = generic_multiview_photometric_loss(
+            batch.get("rgb_original", batch["rgb"]),
+            batch.get("rgb_context_original", batch.get("rgb_context")),
+            out["inv_depths"],
+            out["ray_surface"],
+            canonical,
+            out["poses"],
+            gcfg,
+            progress,
+            temperature,
+        )
+        metrics.update(g_metrics)
+        metrics["loss"] = g_loss
+        return g_loss, (metrics, out, updates)
+
     if model.kind in SELF_SUP_KINDS:
-        sup_w = model.supervised_loss_weight if model.kind == "SemiSupModel" else 0.0
+        sup_w = model.supervised_loss_weight if model.kind in SUPERVISED_KINDS else 0.0
         if sup_w < 1.0:
             self_loss, self_metrics = multiview_photometric_loss(
                 batch.get("rgb_original", batch["rgb"]),
@@ -180,14 +239,25 @@ def model_loss(
                 photo_cfg,
             )
             metrics.update(self_metrics)
-            loss = loss + (1.0 - sup_w) * self_loss if model.kind == "SemiSupModel" \
+            loss = loss + (1.0 - sup_w) * self_loss if model.kind in SUPERVISED_KINDS \
                 else loss + self_loss
 
-    if model.kind == "SemiSupModel":
+    if model.kind in SUPERVISED_KINDS:
+        gt_inv = depth2inv(batch["depth"])
         sup_loss, sup_metrics = supervised_loss(
-            out["inv_depths"], depth2inv(batch["depth"]), model.supervised)
+            out["inv_depths"], gt_inv, model.supervised)
         metrics.update(sup_metrics)
         loss = loss + model.supervised_loss_weight * sup_loss
+        if "inv_depths_rgbd" in out:
+            # rgbd-branch supervision + skip-feature consistency
+            # (reference SemiSupCompletionModel.py:109-117)
+            sup_rgbd, _ = supervised_loss(out["inv_depths_rgbd"], gt_inv,
+                                          model.supervised)
+            metrics["supervised_loss_rgbd"] = sup_rgbd
+            loss = loss + model.weight_rgbd * model.supervised_loss_weight * sup_rgbd
+            if "depth_loss" in out:
+                metrics["depth_loss"] = out["depth_loss"]
+                loss = loss + out["depth_loss"]
 
     if model.kind == "VelSupModel":
         vel_loss, vel_metrics = velocity_loss(out["poses"], batch["pose_context"])
