@@ -40,7 +40,10 @@ EVAL_MODES = ("depth", "depth_pp", "depth_gt", "depth_pp_gt")
 
 
 def _device_batch(batch: Dict) -> Dict:
-    """Strip host-only keys before device transfer."""
+    """Strip host-only keys and fold multi-camera axes before transfer."""
+    from packnet_sfm_tpu.models.batch_utils import stack_multicam_batch
+
+    batch = stack_multicam_batch(batch)
     return {k: v for k, v in batch.items()
             if k not in ("filename", "idx", "pad_count")}
 

@@ -14,6 +14,7 @@ shapes stay static under jit.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Any, Dict, Optional
 
 import jax
@@ -73,11 +74,15 @@ def init_model(model: SfmModelDef, rng: jax.Array, batch: Dict) -> Dict:
     variables: Dict = {}
     extra = {k: batch[k] for k in model.input_keys
              if k not in ("rgb", "intrinsics") and k in batch}
-    dv = model.depth_net.init(k_depth, batch["rgb"], train=True, **extra)
+    # jit the inits: un-jitted flax init executes op-by-op, which is very
+    # slow on remote/tunneled backends (one dispatch per op).
+    dv = jax.jit(partial(model.depth_net.init, train=True))(
+        k_depth, batch["rgb"], **extra)
     for coll, tree in dv.items():
         variables.setdefault(coll, {})["depth_net"] = tree
     if model.pose_net is not None and "rgb_context" in batch:
-        pv = model.pose_net.init(k_pose, batch["rgb"], batch["rgb_context"], train=True)
+        pv = jax.jit(partial(model.pose_net.init, train=True))(
+            k_pose, batch["rgb"], batch["rgb_context"])
         for coll, tree in pv.items():
             variables.setdefault(coll, {})["pose_net"] = tree
     return variables
