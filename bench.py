@@ -25,13 +25,15 @@ WARMUP, ITERS = 3, 10
 
 
 def main():
-    from packnet_sfm_tpu.engine.factory import make_optimizer
-    from packnet_sfm_tpu.engine.train import TrainState, make_train_step
+    from packnet_sfm_tpu.engine.factory import make_optimizer, setup_model
+    from packnet_sfm_tpu.engine.train import (
+        TrainState, make_train_step, zero_metrics)
     from packnet_sfm_tpu.models.sfm import init_model
     from packnet_sfm_tpu.parallel.mesh import make_mesh, shard_batch
 
-    cfg, model = _flagship_model()
+    cfg, _ = _flagship_model()
     cfg.arch.dtype = "bfloat16"
+    model = setup_model(cfg.model, dtype=jax.numpy.bfloat16)
     mesh = make_mesh()
     n_chips = mesh.devices.size
 
@@ -42,16 +44,18 @@ def main():
     step = make_train_step(model, tx, mesh, compute_dtype=jax.numpy.bfloat16)
     sharded = shard_batch(batch, mesh)
 
-    # NOTE: sync via host fetch of the loss — on the axon-tunneled platform
+    # NOTE: sync via host fetch of the metrics — on the axon-tunneled platform
     # block_until_ready does not actually wait for execution.
+    acc = zero_metrics()
     for i in range(WARMUP):
-        state, metrics = step(state, sharded, jax.random.PRNGKey(i))
-    float(metrics["loss"])
+        state, acc = step(state, acc, sharded)
+    float(acc["loss"][0])
 
+    acc = zero_metrics()
     t0 = time.perf_counter()
     for i in range(ITERS):
-        state, metrics = step(state, sharded, jax.random.PRNGKey(100 + i))
-    assert np.isfinite(float(metrics["loss"]))  # forces all steps to complete
+        state, acc = step(state, acc, sharded)
+    assert np.isfinite(float(acc["loss"][0]))  # forces all steps to complete
     dt = time.perf_counter() - t0
 
     imgs_per_sec_per_chip = BATCH * n_chips * ITERS / dt / n_chips

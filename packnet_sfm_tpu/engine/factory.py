@@ -31,15 +31,18 @@ MODEL_KINDS = ("SfmModel", "SelfSupModel", "SemiSupModel", "VelSupModel",
                "SemiSupCompletionModel", "GenericSfmModel", "GenericSelfSupModel")
 
 
-def setup_depth_net(cfg: ConfigNode):
-    """Resolve config.model.depth_net to a flax module (model_wrapper.py:382)."""
+def setup_depth_net(cfg: ConfigNode, dtype=None):
+    """Resolve config.model.depth_net to a flax module (model_wrapper.py:382).
+
+    ``dtype`` is the compute dtype (params stay f32; flax casts per-op).
+    """
     name = cfg.name
     version = cfg.get("version", "")
     dropout = cfg.get("dropout", 0.0) or None
     if name == "PackNet01":
-        return PackNet01(version=version[1:] or "A", dropout=dropout)
+        return PackNet01(version=version[1:] or "A", dropout=dropout, dtype=dtype)
     if name == "PackNetSlim01":
-        return PackNetSlim01(version=version[1:] or "A", dropout=dropout)
+        return PackNetSlim01(version=version[1:] or "A", dropout=dropout, dtype=dtype)
     if name == "DepthResNet":
         return DepthResNet(version=version.replace("pt", "") or "18")
     if name == "PackNetSAN01":
@@ -51,12 +54,12 @@ def setup_depth_net(cfg: ConfigNode):
     raise ValueError(f"Unknown depth net {name}")
 
 
-def setup_pose_net(cfg: ConfigNode):
+def setup_pose_net(cfg: ConfigNode, dtype=None):
     """Resolve config.model.pose_net to a flax module (model_wrapper.py:411)."""
     name = cfg.name
     version = cfg.get("version", "")
     if name == "PoseNet":
-        return PoseNet()
+        return PoseNet(dtype=dtype)
     if name == "PoseResNet":
         return PoseResNet(version=version.replace("pt", "") or "18")
     if name in ("", None):
@@ -64,12 +67,12 @@ def setup_pose_net(cfg: ConfigNode):
     raise ValueError(f"Unknown pose net {name}")
 
 
-def setup_model(cfg: ConfigNode) -> SfmModelDef:
+def setup_model(cfg: ConfigNode, dtype=None) -> SfmModelDef:
     """Build the full SfmModelDef from config.model (model_wrapper.py:440)."""
     loss = cfg.loss
-    depth_net = setup_depth_net(cfg.depth_net)
+    depth_net = setup_depth_net(cfg.depth_net, dtype)
     needs_pose = cfg.name != "SfmModel" or cfg.pose_net.get("name")
-    pose_net = setup_pose_net(cfg.pose_net) if needs_pose else None
+    pose_net = setup_pose_net(cfg.pose_net, dtype) if needs_pose else None
     photometric = MultiViewPhotometricConfig(
         num_scales=loss.num_scales,
         ssim_loss_weight=loss.ssim_loss_weight,

@@ -2,13 +2,19 @@
 
 The TPU-native core of the runtime (replaces reference trainers/
 horovod_trainer.py:73-155's per-batch loop): one jit-compiled function per
-(shape, num_scales) doing forward + backward + optimizer update, with the
+(shape, scale-count) doing forward + backward + optimizer update, with the
 batch sharded over the ``data`` mesh axis and parameters replicated. XLA
 inserts the gradient psum over ICI — no explicit allreduce anywhere.
 
-bf16 policy: optional compute dtype casts inputs/activations to bfloat16
-while keeping params and optimizer state in float32 (the MXU consumes bf16;
-reductions accumulate in f32).
+Host-dispatch discipline (matters hugely on remote/tunneled backends where
+every eager op or transfer is a roundtrip):
+- the per-step RNG is derived inside the graph via fold_in(state.rng,
+  state.step) — no per-step PRNGKey dispatch;
+- metrics are accumulated into a donated device-side accumulator and fetched
+  once per epoch, not per step.
+
+bf16 policy: pass compute dtype to the networks (flax casts per-op; params
+and optimizer state stay f32) and cast batch images on device.
 """
 
 from __future__ import annotations
@@ -31,23 +37,30 @@ from packnet_sfm_tpu.engine.metrics import (
 from packnet_sfm_tpu.models.sfm import SfmModelDef, model_forward, model_loss
 from packnet_sfm_tpu.parallel.mesh import batch_sharding, replicate_sharding
 
+METRIC_KEYS = ("loss", "photometric_loss", "smoothness_loss",
+               "supervised_loss", "supervised_loss_rgbd", "depth_loss",
+               "velocity_loss")
+
 
 class TrainState(struct.PyTreeNode):
-    """Replicated training state (params + stats + optimizer + step)."""
+    """Replicated training state (params + stats + optimizer + step + rng)."""
 
     params: Any
     batch_stats: Any
     opt_state: Any
     step: jnp.ndarray
+    rng: jnp.ndarray
 
     @classmethod
-    def create(cls, variables: Dict, tx: optax.GradientTransformation):
+    def create(cls, variables: Dict, tx: optax.GradientTransformation,
+               rng: Optional[jax.Array] = None):
         params = variables["params"]
         return cls(
             params=params,
             batch_stats=variables.get("batch_stats", {}),
             opt_state=tx.init(params),
             step=jnp.zeros((), jnp.int32),
+            rng=rng if rng is not None else jax.random.PRNGKey(0),
         )
 
     def variables(self) -> Dict:
@@ -55,6 +68,11 @@ class TrainState(struct.PyTreeNode):
         if self.batch_stats:
             v["batch_stats"] = self.batch_stats
         return v
+
+
+def zero_metrics() -> Dict[str, jnp.ndarray]:
+    """Device-side metric accumulator: {key: [sum, count]}."""
+    return {k: jnp.zeros((2,), jnp.float32) for k in METRIC_KEYS}
 
 
 def _cast_tree(tree, dtype):
@@ -71,8 +89,9 @@ def make_train_step(
 ):
     """Build the jitted, mesh-sharded train step.
 
-    Returns step(state, batch, rng) -> (state, metrics). Batch leaves are
-    sharded on their leading axis; state and metrics are replicated.
+    Returns step(state, metric_acc, batch, progress) -> (state, metric_acc).
+    Batch leaves are sharded on their leading axis; state/acc are replicated
+    and donated. Fetch metrics via ``metric_acc`` at epoch end.
     """
 
     def loss_fn(params, state: TrainState, batch, rng, progress):
@@ -86,7 +105,8 @@ def make_train_step(
             progress=progress)
         return loss.astype(jnp.float32), (metrics, updates)
 
-    def step(state: TrainState, batch, rng, progress):
+    def step(state: TrainState, acc, batch, progress):
+        rng = jax.random.fold_in(state.rng, state.step)
         (_, (metrics, updates)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state, batch, rng, progress)
         grad_updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
@@ -98,20 +118,24 @@ def make_train_step(
             opt_state=new_opt_state,
             step=state.step + 1,
         )
-        metrics = {k: v.astype(jnp.float32) for k, v in metrics.items()}
-        return new_state, metrics
+        new_acc = dict(acc)
+        for k in METRIC_KEYS:
+            if k in metrics:
+                new_acc[k] = acc[k] + jnp.stack(
+                    [metrics[k].astype(jnp.float32), jnp.float32(1.0)])
+        return new_state, new_acc
 
     repl = replicate_sharding(mesh)
     data = batch_sharding(mesh)
     jitted = jax.jit(
         step,
-        in_shardings=(repl, data, repl, repl),
+        in_shardings=(repl, repl, data, repl),
         out_shardings=(repl, repl),
-        donate_argnums=(0,),
+        donate_argnums=(0, 1),
     )
 
-    def call(state, batch, rng, progress=0.0):
-        return jitted(state, batch, rng, jnp.asarray(progress, jnp.float32))
+    def call(state, acc, batch, progress=0.0):
+        return jitted(state, acc, batch, jnp.float32(progress))
 
     return call
 
@@ -133,9 +157,6 @@ def make_eval_step(
 
     def step(state: TrainState, batch):
         variables = state.variables()
-        rgb = batch["rgb"]
-        if compute_dtype != jnp.float32:
-            batch = dict(batch, rgb=rgb.astype(compute_dtype))
         out, _ = model_forward(model, variables, {"rgb": batch["rgb"]}, train=False)
         inv_depth = out["inv_depths"][0].astype(jnp.float32)
         flipped_batch = {"rgb": flip_lr(batch["rgb"])}

@@ -54,7 +54,9 @@ class Trainer:
     def __init__(self, config: ConfigNode, mesh=None, profile_dir: Optional[str] = None):
         self.config = config
         self.mesh = mesh if mesh is not None else make_mesh()
-        self.model = setup_model(config.model)
+        _dtype = (jax.numpy.bfloat16 if config.arch.get("dtype") == "bfloat16"
+                  else None)
+        self.model = setup_model(config.model, dtype=_dtype)
         self.metrics_cfg = setup_metrics_config(config)
         self.seed = config.arch.seed
         self.max_epochs = config.arch.max_epochs
@@ -128,22 +130,22 @@ class Trainer:
             progress, loss_cfg.num_scales, loss_cfg.progressive_scaling)
         step_fn = self._train_step_for(num_scales)
 
-        sums: Dict[str, float] = {}
-        count = 0
+        from packnet_sfm_tpu.engine.train import zero_metrics
+
+        acc = zero_metrics()
         images = 0
         t0 = time.perf_counter()
         for loader in self.train_loaders:
-            for i, batch in enumerate(loader.epoch(epoch)):
-                rng = jax.random.PRNGKey(
-                    np.random.SeedSequence([self.seed, epoch, i]).generate_state(1)[0])
+            for batch in loader.epoch(epoch):
                 sharded = shard_batch(_device_batch(batch), self.mesh)
-                self.state, metrics = step_fn(self.state, sharded, rng, progress)
-                count += 1
+                self.state, acc = step_fn(self.state, acc, sharded, progress)
                 images += batch["rgb"].shape[0]
-                for k, v in metrics.items():
-                    sums[k] = sums.get(k, 0.0) + float(v)
+        # single host fetch per epoch (per-step fetches would serialize the
+        # device pipeline, especially over remote backends)
+        acc_host = jax.device_get(acc)
         dt = time.perf_counter() - t0
-        avg = {k: v / max(count, 1) for k, v in sums.items()}
+        avg = {k: float(v[0] / max(v[1], 1.0)) for k, v in acc_host.items()
+               if v[1] > 0}
         avg["imgs_per_sec"] = images / dt if dt > 0 else 0.0
         return avg
 

@@ -23,6 +23,7 @@ class Conv2dBlock(nn.Module):
     features: int
     kernel_size: int
     stride: int = 1
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -33,8 +34,9 @@ class Conv2dBlock(nn.Module):
             strides=(self.stride, self.stride),
             padding=[(p, p), (p, p)],
             kernel_init=_conv_init,
+            dtype=self.dtype,
         )(x)
-        x = nn.GroupNorm(num_groups=16, epsilon=1e-5)(x)
+        x = nn.GroupNorm(num_groups=16, epsilon=1e-5, dtype=self.dtype)(x)
         return jax.nn.elu(x)
 
 
@@ -45,18 +47,19 @@ class ResidualConv(nn.Module):
     features: int
     stride: int
     dropout: Optional[float] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = True) -> jnp.ndarray:
-        out = Conv2dBlock(self.features, 3, self.stride)(x)
-        out = Conv2dBlock(self.features, 3, 1)(out)
+        out = Conv2dBlock(self.features, 3, self.stride, self.dtype)(x)
+        out = Conv2dBlock(self.features, 3, 1, self.dtype)(out)
         shortcut = nn.Conv(
             self.features, (1, 1), strides=(self.stride, self.stride),
-            padding="VALID", kernel_init=_conv_init,
+            padding="VALID", kernel_init=_conv_init, dtype=self.dtype,
         )(x)
         if self.dropout:
             shortcut = nn.Dropout(rate=self.dropout, deterministic=not train)(shortcut)
-        out = nn.GroupNorm(num_groups=16, epsilon=1e-5)(out + shortcut)
+        out = nn.GroupNorm(num_groups=16, epsilon=1e-5, dtype=self.dtype)(out + shortcut)
         return jax.nn.elu(out)
 
 
@@ -67,12 +70,15 @@ class ResidualBlock(nn.Module):
     num_blocks: int
     stride: int = 1
     dropout: Optional[float] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = True) -> jnp.ndarray:
-        x = ResidualConv(self.features, self.stride, self.dropout)(x, train=train)
+        x = ResidualConv(self.features, self.stride, self.dropout,
+                         self.dtype)(x, train=train)
         for _ in range(1, self.num_blocks):
-            x = ResidualConv(self.features, 1, self.dropout)(x, train=train)
+            x = ResidualConv(self.features, 1, self.dropout,
+                             self.dtype)(x, train=train)
         return x
 
 
@@ -84,9 +90,11 @@ class InvDepthHead(nn.Module):
 
     features: int = 1
     min_depth: float = 0.5
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
-                    kernel_init=_conv_init)(x)
-        return jax.nn.sigmoid(x) / self.min_depth
+                    kernel_init=_conv_init, dtype=self.dtype)(x)
+        # inverse depth head stays in f32 for numeric stability downstream
+        return jax.nn.sigmoid(x.astype(jnp.float32)) / self.min_depth

@@ -40,6 +40,7 @@ class PackLayerConv3d(nn.Module):
     kernel_size: int
     r: int = 2
     d: int = 8           # number of 3D features
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -48,12 +49,13 @@ class PackLayerConv3d(nn.Module):
         # 3D conv over (depth=packed-channel, H, W) with 1 input channel:
         # NDHWC = [B, Cp, H, W, 1] -> [B, Cp, H, W, d]
         x3 = nn.Conv(self.d, (3, 3, 3), padding=[(1, 1), (1, 1), (1, 1)],
-                     kernel_init=_conv_init)(x[..., None].transpose(0, 3, 1, 2, 4))
+                     kernel_init=_conv_init,
+                     dtype=self.dtype)(x[..., None].transpose(0, 3, 1, 2, 4))
         # fold (d major, packed-channel minor) to match reference channel order
         # (layers01.py:244-245: view(b, c3d*Cp, h, w))
         b, _, h, w, _ = x3.shape
         x = x3.transpose(0, 2, 3, 4, 1).reshape(b, h, w, self.d * cp)
-        return Conv2dBlock(self.features, self.kernel_size, 1)(x)
+        return Conv2dBlock(self.features, self.kernel_size, 1, self.dtype)(x)
 
 
 class UnpackLayerConv3d(nn.Module):
@@ -66,13 +68,15 @@ class UnpackLayerConv3d(nn.Module):
     kernel_size: int
     r: int = 2
     d: int = 8
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         mid = self.features * self.r * self.r // self.d
-        x = Conv2dBlock(mid, self.kernel_size, 1)(x)       # [B, H, W, out*r*r/d]
+        x = Conv2dBlock(mid, self.kernel_size, 1, self.dtype)(x)  # [B, H, W, out*r*r/d]
         x3 = nn.Conv(self.d, (3, 3, 3), padding=[(1, 1), (1, 1), (1, 1)],
-                     kernel_init=_conv_init)(x[..., None].transpose(0, 3, 1, 2, 4))
+                     kernel_init=_conv_init,
+                     dtype=self.dtype)(x[..., None].transpose(0, 3, 1, 2, 4))
         b, _, h, w, _ = x3.shape
         x = x3.transpose(0, 2, 3, 4, 1).reshape(b, h, w, self.d * mid)
         return depth_to_space(x, self.r)
@@ -91,6 +95,7 @@ class PackNetBase(nn.Module):
     num_blocks: Tuple[int, int, int, int] = (2, 2, 3, 3)
     num_3d_feat: int = 8
     out_channels: int = 1
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, rgb: jnp.ndarray, *, train: bool = True) -> list:
@@ -118,19 +123,19 @@ class PackNetBase(nn.Module):
         else:
             raise ValueError(f"Unknown PackNet version {v}")
 
-        x = Conv2dBlock(ni, 5, 1, name="pre_calc")(rgb)
+        x = Conv2dBlock(ni, 5, 1, self.dtype, name="pre_calc")(rgb)
 
         # Encoder: conv_i -> pack_i
-        x1 = Conv2dBlock(n1, 7, 1, name="conv1")(x)
-        x1p = PackLayerConv3d(n1, pack_kernel[0], d=d, name="pack1")(x1)
-        x2 = ResidualBlock(n2, self.num_blocks[0], 1, self.dropout, name="conv2")(x1p, train=train)
-        x2p = PackLayerConv3d(n2, pack_kernel[1], d=d, name="pack2")(x2)
-        x3 = ResidualBlock(n3, self.num_blocks[1], 1, self.dropout, name="conv3")(x2p, train=train)
-        x3p = PackLayerConv3d(n3, pack_kernel[2], d=d, name="pack3")(x3)
-        x4 = ResidualBlock(n4, self.num_blocks[2], 1, self.dropout, name="conv4")(x3p, train=train)
-        x4p = PackLayerConv3d(n4, pack_kernel[3], d=d, name="pack4")(x4)
-        x5 = ResidualBlock(n5, self.num_blocks[3], 1, self.dropout, name="conv5")(x4p, train=train)
-        x5p = PackLayerConv3d(n5, pack_kernel[4], d=d, name="pack5")(x5)
+        x1 = Conv2dBlock(n1, 7, 1, self.dtype, name="conv1")(x)
+        x1p = PackLayerConv3d(n1, pack_kernel[0], d=d, dtype=self.dtype, name="pack1")(x1)
+        x2 = ResidualBlock(n2, self.num_blocks[0], 1, self.dropout, self.dtype, name="conv2")(x1p, train=train)
+        x2p = PackLayerConv3d(n2, pack_kernel[1], d=d, dtype=self.dtype, name="pack2")(x2)
+        x3 = ResidualBlock(n3, self.num_blocks[1], 1, self.dropout, self.dtype, name="conv3")(x2p, train=train)
+        x3p = PackLayerConv3d(n3, pack_kernel[2], d=d, dtype=self.dtype, name="pack3")(x3)
+        x4 = ResidualBlock(n4, self.num_blocks[2], 1, self.dropout, self.dtype, name="conv4")(x3p, train=train)
+        x4p = PackLayerConv3d(n4, pack_kernel[3], d=d, dtype=self.dtype, name="pack4")(x4)
+        x5 = ResidualBlock(n5, self.num_blocks[3], 1, self.dropout, self.dtype, name="conv5")(x4p, train=train)
+        x5p = PackLayerConv3d(n5, pack_kernel[4], d=d, dtype=self.dtype, name="pack5")(x5)
 
         skip1, skip2, skip3, skip4, skip5 = x, x1p, x2p, x3p, x4p
 
@@ -138,33 +143,33 @@ class PackNetBase(nn.Module):
             return jnp.concatenate([up, skip], axis=-1) if v == "A" else up + skip
 
         # Decoder
-        unpack5 = UnpackLayerConv3d(n5o, unpack_kernel[0], d=d, name="unpack5")(x5p)
-        iconv5 = Conv2dBlock(n5, iconv_kernel[0], 1, name="iconv5")(merge(unpack5, skip5))
+        unpack5 = UnpackLayerConv3d(n5o, unpack_kernel[0], d=d, dtype=self.dtype, name="unpack5")(x5p)
+        iconv5 = Conv2dBlock(n5, iconv_kernel[0], 1, self.dtype, name="iconv5")(merge(unpack5, skip5))
 
-        unpack4 = UnpackLayerConv3d(n4o, unpack_kernel[1], d=d, name="unpack4")(iconv5)
-        iconv4 = Conv2dBlock(n4, iconv_kernel[1], 1, name="iconv4")(merge(unpack4, skip4))
-        disp4 = InvDepthHead(no, name="disp4")(iconv4)
+        unpack4 = UnpackLayerConv3d(n4o, unpack_kernel[1], d=d, dtype=self.dtype, name="unpack4")(iconv5)
+        iconv4 = Conv2dBlock(n4, iconv_kernel[1], 1, self.dtype, name="iconv4")(merge(unpack4, skip4))
+        disp4 = InvDepthHead(no, dtype=self.dtype, name="disp4")(iconv4)
         udisp4 = interpolate_image(disp4, (disp4.shape[1] * 2, disp4.shape[2] * 2), mode="nearest")
 
-        unpack3 = UnpackLayerConv3d(n3o, unpack_kernel[2], d=d, name="unpack3")(iconv4)
+        unpack3 = UnpackLayerConv3d(n3o, unpack_kernel[2], d=d, dtype=self.dtype, name="unpack3")(iconv4)
         concat3 = jnp.concatenate([merge(unpack3, skip3), udisp4], axis=-1) if v == "B" else \
             jnp.concatenate([unpack3, skip3, udisp4], axis=-1)
-        iconv3 = Conv2dBlock(n3, iconv_kernel[2], 1, name="iconv3")(concat3)
-        disp3 = InvDepthHead(no, name="disp3")(iconv3)
+        iconv3 = Conv2dBlock(n3, iconv_kernel[2], 1, self.dtype, name="iconv3")(concat3)
+        disp3 = InvDepthHead(no, dtype=self.dtype, name="disp3")(iconv3)
         udisp3 = interpolate_image(disp3, (disp3.shape[1] * 2, disp3.shape[2] * 2), mode="nearest")
 
-        unpack2 = UnpackLayerConv3d(n2o, unpack_kernel[3], d=d, name="unpack2")(iconv3)
+        unpack2 = UnpackLayerConv3d(n2o, unpack_kernel[3], d=d, dtype=self.dtype, name="unpack2")(iconv3)
         concat2 = jnp.concatenate([merge(unpack2, skip2), udisp3], axis=-1) if v == "B" else \
             jnp.concatenate([unpack2, skip2, udisp3], axis=-1)
-        iconv2 = Conv2dBlock(n2, iconv_kernel[3], 1, name="iconv2")(concat2)
-        disp2 = InvDepthHead(no, name="disp2")(iconv2)
+        iconv2 = Conv2dBlock(n2, iconv_kernel[3], 1, self.dtype, name="iconv2")(concat2)
+        disp2 = InvDepthHead(no, dtype=self.dtype, name="disp2")(iconv2)
         udisp2 = interpolate_image(disp2, (disp2.shape[1] * 2, disp2.shape[2] * 2), mode="nearest")
 
-        unpack1 = UnpackLayerConv3d(n1o, unpack_kernel[4], d=d, name="unpack1")(iconv2)
+        unpack1 = UnpackLayerConv3d(n1o, unpack_kernel[4], d=d, dtype=self.dtype, name="unpack1")(iconv2)
         concat1 = jnp.concatenate([merge(unpack1, skip1), udisp2], axis=-1) if v == "B" else \
             jnp.concatenate([unpack1, skip1, udisp2], axis=-1)
-        iconv1 = Conv2dBlock(n1, iconv_kernel[4], 1, name="iconv1")(concat1)
-        disp1 = InvDepthHead(no, name="disp1")(iconv1)
+        iconv1 = Conv2dBlock(n1, iconv_kernel[4], 1, self.dtype, name="iconv1")(concat1)
+        disp1 = InvDepthHead(no, dtype=self.dtype, name="disp1")(iconv1)
 
         return [disp1, disp2, disp3, disp4]
 

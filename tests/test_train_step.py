@@ -53,6 +53,8 @@ def test_selfsup_overfit_loss_decreases(cfg):
     rng = np.random.default_rng(0)
     batch = make_batch(rng)
 
+    from packnet_sfm_tpu.engine.train import zero_metrics
+
     key = jax.random.PRNGKey(0)
     variables = init_model(model, key, batch)
     tx = make_optimizer(cfg.model.optimizer, cfg.model.scheduler, steps_per_epoch=100)
@@ -62,8 +64,9 @@ def test_selfsup_overfit_loss_decreases(cfg):
     sharded = shard_batch(batch, mesh)
     losses = []
     for i in range(12):
-        state, metrics = step(state, sharded, jax.random.PRNGKey(i + 1))
-        losses.append(float(metrics["loss"]))
+        acc = zero_metrics()
+        state, acc = step(state, acc, sharded)
+        losses.append(float(acc["loss"][0]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 0.9, losses
 
