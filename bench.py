@@ -27,7 +27,7 @@ WARMUP, ITERS = 3, 10
 def main():
     from packnet_sfm_tpu.engine.factory import make_optimizer, setup_model
     from packnet_sfm_tpu.engine.train import (
-        TrainState, make_train_step, zero_metrics)
+        TrainState, make_train_step, replicate_state, zero_metrics)
     from packnet_sfm_tpu.models.sfm import init_model
     from packnet_sfm_tpu.parallel.mesh import make_mesh, shard_batch
 
@@ -40,7 +40,7 @@ def main():
     batch = _synthetic_batch(BATCH * n_chips, H, W)
     variables = init_model(model, jax.random.PRNGKey(0), batch)
     tx = make_optimizer(cfg.model.optimizer, cfg.model.scheduler, steps_per_epoch=100)
-    state = TrainState.create(variables, tx)
+    state = replicate_state(TrainState.create(variables, tx), mesh)
     step = make_train_step(model, tx, mesh, compute_dtype=jax.numpy.bfloat16)
     sharded = shard_batch(batch, mesh)
 

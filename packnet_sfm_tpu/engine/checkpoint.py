@@ -81,6 +81,53 @@ def save_checkpoint(path: str, state, config: Dict, epoch: int,
     return path
 
 
+def load_network(path: str, variables: Dict, network: str) -> Dict:
+    """Load one sub-network's params from a checkpoint into ``variables``.
+
+    Capability parity with reference utils/load.py:114 (``load_network``):
+    prefix-matched partial loads tolerate missing/mismatched entries and
+    report the match count. ``network`` is 'depth_net' or 'pose_net'
+    (config keys model.depth_net.checkpoint_path etc.,
+    model_wrapper.py:405-407).
+    """
+    import numpy as np
+
+    state = ocp.StandardCheckpointer().restore(
+        os.path.join(os.path.abspath(path), "state"))
+    loaded_params = state["params"].get(network, {})
+
+    def count_leaves(t):
+        return len(jax.tree_util.tree_leaves(t))
+
+    updated = dict(variables)
+    n_total = count_leaves(variables["params"].get(network, {}))
+    n_loaded = 0
+
+    def merge(dst, src):
+        nonlocal n_loaded
+        out = dict(dst)
+        for k, v in src.items():
+            if k not in dst:
+                continue
+            if isinstance(v, dict):
+                out[k] = merge(dst[k], v)
+            elif np.shape(dst[k]) == np.shape(v):
+                out[k] = v
+                n_loaded += 1
+        return out
+
+    params = dict(updated["params"])
+    params[network] = merge(params.get(network, {}), loaded_params)
+    updated["params"] = params
+    if "batch_stats" in state and state["batch_stats"] and \
+            network in state["batch_stats"] and "batch_stats" in updated:
+        stats = dict(updated["batch_stats"])
+        stats[network] = merge(stats.get(network, {}), state["batch_stats"][network])
+        updated["batch_stats"] = stats
+    print(f"### Loaded {n_loaded}/{n_total} tensors for {network} from {path}")
+    return updated
+
+
 def restore_checkpoint(path: str, target_state=None):
     """Restore (state, meta). With ``target_state`` the pytree structure and
     shardings of the target are reused (required under jit/mesh)."""

@@ -125,19 +125,27 @@ def make_train_step(
                     [metrics[k].astype(jnp.float32), jnp.float32(1.0)])
         return new_state, new_acc
 
-    repl = replicate_sharding(mesh)
-    data = batch_sharding(mesh)
-    jitted = jax.jit(
-        step,
-        in_shardings=(repl, repl, data, repl),
-        out_shardings=(repl, repl),
-        donate_argnums=(0, 1),
-    )
+    # Sharding is placement-driven: the batch arrives device_put with a
+    # NamedSharding over the 'data' axis (parallel.mesh.shard_batch) and the
+    # state is replicated at creation (replicate_state). jit infers the SPMD
+    # partitioning from committed operand shardings. We deliberately avoid
+    # in_shardings/out_shardings: on the axon-tunneled backend that code path
+    # executed ~65x slower than the committed-operand path (214ms vs 14s per
+    # step, measured) with identical semantics.
+    del mesh
+    jitted = jax.jit(step, donate_argnums=(0, 1))
 
     def call(state, acc, batch, progress=0.0):
         return jitted(state, acc, batch, jnp.float32(progress))
 
     return call
+
+
+def replicate_state(state, mesh: Mesh):
+    """Commit the train state replicated over the mesh (multi-chip DP)."""
+    if mesh.devices.size <= 1:
+        return state
+    return jax.device_put(state, replicate_sharding(mesh))
 
 
 def make_eval_step(
@@ -175,8 +183,5 @@ def make_eval_step(
             "inv_depth": inv_depth_pp,
         }
 
-    repl = replicate_sharding(mesh)
-    data = batch_sharding(mesh)
-    return jax.jit(step, in_shardings=(repl, data),
-                   out_shardings={"depth": repl, "depth_pp": repl, "depth_gt": repl,
-                                  "depth_pp_gt": repl, "inv_depth": data})
+    del mesh  # placement-driven sharding; see make_train_step
+    return jax.jit(step)

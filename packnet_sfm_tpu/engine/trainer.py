@@ -102,7 +102,20 @@ class Trainer:
     def init_state(self, sample_batch: Dict):
         variables = init_model(
             self.model, jax.random.PRNGKey(self.seed), _device_batch(sample_batch))
-        self.state = TrainState.create(variables, self.tx)
+        # Optional per-network partial checkpoint loads
+        # (reference model_wrapper.py:405-407 + utils/load.py:114).
+        from packnet_sfm_tpu.engine.checkpoint import load_network
+        for net in ("depth_net", "pose_net"):
+            ckpt = self.config.model[net].get("checkpoint_path", "")
+            if ckpt:
+                variables = load_network(ckpt, variables, net)
+        if self.config.model.get("checkpoint_path"):
+            for net in ("depth_net", "pose_net"):
+                variables = load_network(
+                    self.config.model.checkpoint_path, variables, net)
+        from packnet_sfm_tpu.engine.train import replicate_state
+        self.state = replicate_state(TrainState.create(
+            variables, self.tx, rng=jax.random.PRNGKey(self.seed + 1)), self.mesh)
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
         print(f"### Initialized model with {n_params / 1e6:.2f}M parameters")
 

@@ -96,9 +96,16 @@ class PackNetBase(nn.Module):
     num_3d_feat: int = 8
     out_channels: int = 1
     dtype: Optional[jnp.dtype] = None
+    remat: bool = True
 
     @nn.compact
     def __call__(self, rgb: jnp.ndarray, *, train: bool = True) -> list:
+        # Rematerialize pack/unpack layers: their 3D-conv intermediates are
+        # [B, C*4, H/2, W/2, d] — ~1 GB each at 192x640 — and dominate
+        # activation memory if saved for backward. Recompute-in-backward
+        # trades ~15% extra FLOPs for ~8 GB of HBM at the flagship config.
+        Pack = nn.remat(PackLayerConv3d) if self.remat else PackLayerConv3d
+        Unpack = nn.remat(UnpackLayerConv3d) if self.remat else UnpackLayerConv3d
         v = self.version
         no = self.out_channels
         ni = self.ni
@@ -127,15 +134,15 @@ class PackNetBase(nn.Module):
 
         # Encoder: conv_i -> pack_i
         x1 = Conv2dBlock(n1, 7, 1, self.dtype, name="conv1")(x)
-        x1p = PackLayerConv3d(n1, pack_kernel[0], d=d, dtype=self.dtype, name="pack1")(x1)
+        x1p = Pack(n1, pack_kernel[0], d=d, dtype=self.dtype, name="pack1")(x1)
         x2 = ResidualBlock(n2, self.num_blocks[0], 1, self.dropout, self.dtype, name="conv2")(x1p, train=train)
-        x2p = PackLayerConv3d(n2, pack_kernel[1], d=d, dtype=self.dtype, name="pack2")(x2)
+        x2p = Pack(n2, pack_kernel[1], d=d, dtype=self.dtype, name="pack2")(x2)
         x3 = ResidualBlock(n3, self.num_blocks[1], 1, self.dropout, self.dtype, name="conv3")(x2p, train=train)
-        x3p = PackLayerConv3d(n3, pack_kernel[2], d=d, dtype=self.dtype, name="pack3")(x3)
+        x3p = Pack(n3, pack_kernel[2], d=d, dtype=self.dtype, name="pack3")(x3)
         x4 = ResidualBlock(n4, self.num_blocks[2], 1, self.dropout, self.dtype, name="conv4")(x3p, train=train)
-        x4p = PackLayerConv3d(n4, pack_kernel[3], d=d, dtype=self.dtype, name="pack4")(x4)
+        x4p = Pack(n4, pack_kernel[3], d=d, dtype=self.dtype, name="pack4")(x4)
         x5 = ResidualBlock(n5, self.num_blocks[3], 1, self.dropout, self.dtype, name="conv5")(x4p, train=train)
-        x5p = PackLayerConv3d(n5, pack_kernel[4], d=d, dtype=self.dtype, name="pack5")(x5)
+        x5p = Pack(n5, pack_kernel[4], d=d, dtype=self.dtype, name="pack5")(x5)
 
         skip1, skip2, skip3, skip4, skip5 = x, x1p, x2p, x3p, x4p
 
@@ -143,29 +150,29 @@ class PackNetBase(nn.Module):
             return jnp.concatenate([up, skip], axis=-1) if v == "A" else up + skip
 
         # Decoder
-        unpack5 = UnpackLayerConv3d(n5o, unpack_kernel[0], d=d, dtype=self.dtype, name="unpack5")(x5p)
+        unpack5 = Unpack(n5o, unpack_kernel[0], d=d, dtype=self.dtype, name="unpack5")(x5p)
         iconv5 = Conv2dBlock(n5, iconv_kernel[0], 1, self.dtype, name="iconv5")(merge(unpack5, skip5))
 
-        unpack4 = UnpackLayerConv3d(n4o, unpack_kernel[1], d=d, dtype=self.dtype, name="unpack4")(iconv5)
+        unpack4 = Unpack(n4o, unpack_kernel[1], d=d, dtype=self.dtype, name="unpack4")(iconv5)
         iconv4 = Conv2dBlock(n4, iconv_kernel[1], 1, self.dtype, name="iconv4")(merge(unpack4, skip4))
         disp4 = InvDepthHead(no, dtype=self.dtype, name="disp4")(iconv4)
         udisp4 = interpolate_image(disp4, (disp4.shape[1] * 2, disp4.shape[2] * 2), mode="nearest")
 
-        unpack3 = UnpackLayerConv3d(n3o, unpack_kernel[2], d=d, dtype=self.dtype, name="unpack3")(iconv4)
+        unpack3 = Unpack(n3o, unpack_kernel[2], d=d, dtype=self.dtype, name="unpack3")(iconv4)
         concat3 = jnp.concatenate([merge(unpack3, skip3), udisp4], axis=-1) if v == "B" else \
             jnp.concatenate([unpack3, skip3, udisp4], axis=-1)
         iconv3 = Conv2dBlock(n3, iconv_kernel[2], 1, self.dtype, name="iconv3")(concat3)
         disp3 = InvDepthHead(no, dtype=self.dtype, name="disp3")(iconv3)
         udisp3 = interpolate_image(disp3, (disp3.shape[1] * 2, disp3.shape[2] * 2), mode="nearest")
 
-        unpack2 = UnpackLayerConv3d(n2o, unpack_kernel[3], d=d, dtype=self.dtype, name="unpack2")(iconv3)
+        unpack2 = Unpack(n2o, unpack_kernel[3], d=d, dtype=self.dtype, name="unpack2")(iconv3)
         concat2 = jnp.concatenate([merge(unpack2, skip2), udisp3], axis=-1) if v == "B" else \
             jnp.concatenate([unpack2, skip2, udisp3], axis=-1)
         iconv2 = Conv2dBlock(n2, iconv_kernel[3], 1, self.dtype, name="iconv2")(concat2)
         disp2 = InvDepthHead(no, dtype=self.dtype, name="disp2")(iconv2)
         udisp2 = interpolate_image(disp2, (disp2.shape[1] * 2, disp2.shape[2] * 2), mode="nearest")
 
-        unpack1 = UnpackLayerConv3d(n1o, unpack_kernel[4], d=d, dtype=self.dtype, name="unpack1")(iconv2)
+        unpack1 = Unpack(n1o, unpack_kernel[4], d=d, dtype=self.dtype, name="unpack1")(iconv2)
         concat1 = jnp.concatenate([merge(unpack1, skip1), udisp2], axis=-1) if v == "B" else \
             jnp.concatenate([unpack1, skip1, udisp2], axis=-1)
         iconv1 = Conv2dBlock(n1, iconv_kernel[4], 1, self.dtype, name="iconv1")(concat1)

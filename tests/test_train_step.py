@@ -58,7 +58,8 @@ def test_selfsup_overfit_loss_decreases(cfg):
     key = jax.random.PRNGKey(0)
     variables = init_model(model, key, batch)
     tx = make_optimizer(cfg.model.optimizer, cfg.model.scheduler, steps_per_epoch=100)
-    state = TrainState.create(variables, tx)
+    from packnet_sfm_tpu.engine.train import replicate_state
+    state = replicate_state(TrainState.create(variables, tx), mesh)
     step = make_train_step(model, tx, mesh)
 
     sharded = shard_batch(batch, mesh)
@@ -80,7 +81,8 @@ def test_eval_step_metrics(cfg):
 
     variables = init_model(model, jax.random.PRNGKey(0), batch)
     tx = make_optimizer(cfg.model.optimizer, cfg.model.scheduler, steps_per_epoch=100)
-    state = TrainState.create(variables, tx)
+    from packnet_sfm_tpu.engine.train import replicate_state
+    state = replicate_state(TrainState.create(variables, tx), mesh)
     eval_step = make_eval_step(model, mesh, DepthMetricsConfig(crop="garg"))
     out = eval_step(state, shard_batch(batch, mesh))
     for mode in ("depth", "depth_pp", "depth_gt", "depth_pp_gt"):
