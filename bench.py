@@ -1,10 +1,14 @@
 """Benchmark: PackNet01 self-sup training throughput on the real chip.
 
 Proxy for the reference's train_kitti.yaml hot loop (PackNet01 1A + PoseNet,
-192x640, batch 4/chip — BASELINE.md throughput proxy). The reference
-publishes no speed numbers (BASELINE.md), so vs_baseline is the ratio against
-a fixed nominal 10 imgs/s/GPU working figure for the reference's documented
-hardware class.
+192x640 — BASELINE.md throughput proxy). The reference publishes no speed
+numbers (BASELINE.md), so vs_baseline is the ratio against a fixed nominal
+10 imgs/s/GPU working figure for the reference's documented hardware class.
+
+Robustness: the pooled/tunneled chip shows contention and occasional remote-
+compile failures, so the run retries once on infrastructure errors and
+reports the median of 3 timing windows. Batch defaults to 2/chip
+(PN_BENCH_BATCH overrides).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -12,6 +16,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -20,11 +25,12 @@ import numpy as np
 from __graft_entry__ import _flagship_model, _synthetic_batch
 
 NOMINAL_REFERENCE_IMGS_PER_SEC = 10.0
-BATCH, H, W = 4, 192, 640
-WARMUP, ITERS = 3, 10
+BATCH = int(os.environ.get("PN_BENCH_BATCH", "2"))
+H, W = 192, 640
+WARMUP, ITERS, WINDOWS = 2, 5, 3
 
 
-def main():
+def run_once() -> float:
     from packnet_sfm_tpu.engine.factory import make_optimizer, setup_model
     from packnet_sfm_tpu.engine.train import (
         TrainState, make_train_step, replicate_state, zero_metrics)
@@ -47,18 +53,34 @@ def main():
     # NOTE: sync via host fetch of the metrics — on the axon-tunneled platform
     # block_until_ready does not actually wait for execution.
     acc = zero_metrics()
-    for i in range(WARMUP):
+    for _ in range(WARMUP):
         state, acc = step(state, acc, sharded)
-    float(acc["loss"][0])
+    assert np.isfinite(float(acc["loss"][0]))
 
-    acc = zero_metrics()
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        state, acc = step(state, acc, sharded)
-    assert np.isfinite(float(acc["loss"][0]))  # forces all steps to complete
-    dt = time.perf_counter() - t0
+    rates = []
+    for _ in range(WINDOWS):
+        acc = zero_metrics()
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            state, acc = step(state, acc, sharded)
+        assert np.isfinite(float(acc["loss"][0]))  # forces completion
+        dt = time.perf_counter() - t0
+        rates.append(BATCH * n_chips * ITERS / dt / n_chips)
+    return float(np.median(rates))
 
-    imgs_per_sec_per_chip = BATCH * n_chips * ITERS / dt / n_chips
+
+def main():
+    last_err = None
+    for _attempt in range(2):
+        try:
+            imgs_per_sec_per_chip = run_once()
+            break
+        except Exception as e:  # pragma: no cover — infra flake retry
+            last_err = e
+            time.sleep(10)
+    else:
+        raise last_err
+
     print(json.dumps({
         "metric": "packnet01_selfsup_192x640_train_imgs_per_sec_per_chip",
         "value": round(imgs_per_sec_per_chip, 3),

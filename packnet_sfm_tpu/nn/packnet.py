@@ -28,12 +28,52 @@ from packnet_sfm_tpu.ops.packing import depth_to_space, space_to_depth
 from packnet_sfm_tpu.ops.image import interpolate_image
 
 
+class ChannelConv3d(nn.Module):
+    """3x3x3 conv over (channel-as-depth, H, W), emitting the folded layout.
+
+    Computes the reference's ``Conv3d(1, d, 3)`` over [B, 1, C, H, W] followed
+    by the channel fold view(b, d*C, h, w) (layers01.py:236-245) — but never
+    materializes a tensor whose minor dimension is ``d``: on TPU a
+    [..., d=8] minor dim is lane-padded 8->128, a measured 16x memory
+    expansion (15 GB for a 960 MB intermediate) that starved HBM and
+    serialized the whole train step. Instead the conv is decomposed into 27
+    channel/spatially-shifted fused multiply-adds accumulated directly into
+    the folded [B, H, W, d*C] output (minor dim d*C >= 128, layout-friendly).
+
+    Param names/shapes match flax nn.Conv ('kernel' [3,3,3,1,d], 'bias' [d])
+    so utils/torch_import mappings are unchanged.
+    """
+
+    d: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, cp = x.shape
+        kernel = self.param("kernel", _conv_init, (3, 3, 3, 1, self.d))
+        bias = self.param("bias", nn.initializers.zeros, (self.d,))
+        dtype = self.dtype or x.dtype
+        xc = x.astype(dtype)
+        kw_ = kernel.astype(dtype)
+        xp = jnp.pad(xc, ((0, 0), (1, 1), (1, 1), (1, 1)))
+        outs = []
+        for c3 in range(self.d):
+            acc = None
+            for kz in range(3):
+                for kh in range(3):
+                    for kx in range(3):
+                        term = xp[:, kh:kh + h, kx:kx + w, kz:kz + cp] * \
+                            kw_[kz, kh, kx, 0, c3]
+                        acc = term if acc is None else acc + term
+            outs.append(acc + bias[c3].astype(dtype))
+        # channel order (c3 major, packed-channel minor) == reference fold
+        return jnp.concatenate(outs, axis=-1)
+
+
 class PackLayerConv3d(nn.Module):
     """Pack: space-to-depth -> 3D conv over packed channels -> 2D conv.
 
     Parity: layers01.py:213-247. Input [B, H, W, C] -> [B, H/2, W/2, C].
-    The 3D conv treats the packed-channel axis as depth; channels-last here
-    means its contraction maps onto the MXU without layout shuffles.
     """
 
     features: int        # in == out channel count C
@@ -45,16 +85,7 @@ class PackLayerConv3d(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = space_to_depth(x, self.r)                      # [B, H/r, W/r, C*r*r]
-        cp = x.shape[-1]
-        # 3D conv over (depth=packed-channel, H, W) with 1 input channel:
-        # NDHWC = [B, Cp, H, W, 1] -> [B, Cp, H, W, d]
-        x3 = nn.Conv(self.d, (3, 3, 3), padding=[(1, 1), (1, 1), (1, 1)],
-                     kernel_init=_conv_init,
-                     dtype=self.dtype)(x[..., None].transpose(0, 3, 1, 2, 4))
-        # fold (d major, packed-channel minor) to match reference channel order
-        # (layers01.py:244-245: view(b, c3d*Cp, h, w))
-        b, _, h, w, _ = x3.shape
-        x = x3.transpose(0, 2, 3, 4, 1).reshape(b, h, w, self.d * cp)
+        x = ChannelConv3d(self.d, self.dtype, name="Conv_0")(x)
         return Conv2dBlock(self.features, self.kernel_size, 1, self.dtype)(x)
 
 
@@ -74,11 +105,7 @@ class UnpackLayerConv3d(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         mid = self.features * self.r * self.r // self.d
         x = Conv2dBlock(mid, self.kernel_size, 1, self.dtype)(x)  # [B, H, W, out*r*r/d]
-        x3 = nn.Conv(self.d, (3, 3, 3), padding=[(1, 1), (1, 1), (1, 1)],
-                     kernel_init=_conv_init,
-                     dtype=self.dtype)(x[..., None].transpose(0, 3, 1, 2, 4))
-        b, _, h, w, _ = x3.shape
-        x = x3.transpose(0, 2, 3, 4, 1).reshape(b, h, w, self.d * mid)
+        x = ChannelConv3d(self.d, self.dtype, name="Conv_0")(x)
         return depth_to_space(x, self.r)
 
 
