@@ -56,18 +56,21 @@ class ChannelConv3d(nn.Module):
         xc = x.astype(dtype)
         kw_ = kernel.astype(dtype)
         xp = jnp.pad(xc, ((0, 0), (1, 1), (1, 1), (1, 1)))
-        outs = []
-        for c3 in range(self.d):
-            acc = None
-            for kz in range(3):
-                for kh in range(3):
-                    for kx in range(3):
-                        term = xp[:, kh:kh + h, kx:kx + w, kz:kz + cp] * \
-                            kw_[kz, kh, kx, 0, c3]
-                        acc = term if acc is None else acc + term
-            outs.append(acc + bias[c3].astype(dtype))
-        # channel order (c3 major, packed-channel minor) == reference fold
-        return jnp.concatenate(outs, axis=-1)
+        # 27 shifted FMAs, vectorized over the d output features by tiling the
+        # shifted slab d times along channels and scaling each Cp-block by its
+        # weight — the graph stays small (27 terms) and every tensor keeps a
+        # large minor dim. Channel order (c3 major, packed-channel minor)
+        # matches the reference fold.
+        acc = None
+        for kz in range(3):
+            for kh in range(3):
+                for kx in range(3):
+                    shifted = xp[:, kh:kh + h, kx:kx + w, kz:kz + cp]
+                    tiled = jnp.tile(shifted, (1, 1, 1, self.d))
+                    wvec = jnp.repeat(kw_[kz, kh, kx, 0], cp)  # [d*Cp]
+                    term = tiled * wvec[None, None, None, :]
+                    acc = term if acc is None else acc + term
+        return acc + jnp.repeat(bias.astype(dtype), cp)[None, None, None, :]
 
 
 class PackLayerConv3d(nn.Module):

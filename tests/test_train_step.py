@@ -124,3 +124,29 @@ def test_metrics_reference_parity():
         DepthMetricsConfig(crop="garg", min_depth=0.0, max_depth=80.0),
         use_gt_scale=True)
     np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-4, atol=1e-5)
+
+
+def test_scaling_harness():
+    """Scaling harness runs across 1/2/4/8 CPU devices and reports sane rows.
+
+    CPU 'efficiency' is not meaningful as absolute perf, but every mesh size
+    must compile, execute, and produce finite throughput numbers.
+    """
+    from packnet_sfm_tpu.core.config import get_default_config
+    from packnet_sfm_tpu.engine.factory import setup_model
+    from packnet_sfm_tpu.parallel.scaling import measure_scaling
+
+    # light model: flagship PackNet compiles for minutes on CPU
+    c = get_default_config()
+    c.model.name = "SelfSupModel"
+    c.model.depth_net.name = "DepthResNet"
+    c.model.depth_net.version = "18"
+    c.model.pose_net.name = "PoseNet"
+    c.model.loss.flip_lr_prob = 0.0
+    rows = measure_scaling(device_counts=[1, 2], per_device_batch=2,
+                           height=32, width=64, steps=2, warmup=1,
+                           model=setup_model(c.model), config=c)
+    assert [r["devices"] for r in rows] == [1, 2]
+    for r in rows:
+        assert np.isfinite(r["imgs_per_sec"]) and r["imgs_per_sec"] > 0
+    assert rows[0]["efficiency"] == 1.0
