@@ -5,10 +5,12 @@ PackNetSlim01.py plus the 3D pack/unpack layers (layers01.py:213-287),
 re-designed TPU-first:
 
 - space-to-depth / depth-to-space are pure layout ops fused by XLA
-  (ops/packing.py); the 3D conv runs channels-last so its contraction lands
-  on the MXU.
-- A fused Pallas pack-conv kernel can replace the XLA path via use_pallas
-  (ops/pallas/), validated against this reference implementation.
+  (ops/packing.py);
+- the 3x3x3 conv over packed channels is computed in a folded layout
+  (ChannelConv3d) that never materializes a small-minor-dim tensor — see its
+  docstring for the measured 16x lane-padding blowup this avoids;
+- pack/unpack layers rematerialize in backward (nn.remat) so their folded
+  intermediates don't dominate HBM.
 
 Architecture summary (PackNet01, version A/B, PackNet01.py:25-104):
 encoder = pre_calc Conv(5) -> [conv_i (residual) -> pack_i] x5 with channels
