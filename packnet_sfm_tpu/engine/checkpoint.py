@@ -30,14 +30,31 @@ class ModelCheckpoint:
     """Top-k checkpoint manager keyed on a monitored metric."""
 
     def __init__(self, dirpath: str, monitor: str = "loss", save_top_k: int = 5,
-                 mode: str = "auto"):
+                 mode: str = "auto", s3_path: str = "", s3_frequency: int = 1):
         self.dirpath = os.path.abspath(dirpath)
         os.makedirs(self.dirpath, exist_ok=True)
         self.monitor = monitor
         self.save_top_k = save_top_k
         self.mode = _mode_for(monitor, mode)
+        self.s3_path = s3_path
+        self.s3_frequency = s3_frequency
+        self._saves = 0
         self._saved: list[tuple[float, str]] = []
         self._ckpt = ocp.StandardCheckpointer()
+
+    def _s3_sync(self):
+        """Off-site sync via the aws CLI when configured
+        (reference model_checkpoint.py:78-92); silent no-op otherwise."""
+        if not self.s3_path:
+            return
+        import subprocess
+        try:
+            subprocess.run(
+                ["aws", "s3", "sync", self.dirpath, self.s3_path,
+                 "--quiet", "--delete"],
+                check=False, timeout=600)
+        except (OSError, subprocess.SubprocessError) as e:
+            print(f"s3 sync failed: {e}")
 
     def _is_better(self, value: float, worst: float) -> bool:
         return value > worst if self.mode == "max" else value < worst
@@ -61,6 +78,9 @@ class ModelCheckpoint:
         while self.save_top_k > 0 and len(self._saved) > self.save_top_k:
             _, old = self._saved.pop()
             shutil.rmtree(old, ignore_errors=True)
+        self._saves += 1
+        if self.s3_path and self._saves % max(self.s3_frequency, 1) == 0:
+            self._s3_sync()
         return path
 
 

@@ -95,7 +95,10 @@ class Trainer:
         self.checkpoint = ModelCheckpoint(
             ckpt_dir, monitor=config.checkpoint.monitor,
             save_top_k=config.checkpoint.save_top_k,
-            mode=config.checkpoint.mode) if ckpt_dir else None
+            mode=config.checkpoint.mode,
+            s3_path=config.checkpoint.get("s3_path", ""),
+            s3_frequency=config.checkpoint.get("s3_frequency", 1)) \
+            if ckpt_dir else None
 
     # ------------------------------------------------------------------ state
 
@@ -162,7 +165,8 @@ class Trainer:
         avg["imgs_per_sec"] = images / dt if dt > 0 else 0.0
         return avg
 
-    def validate(self, epoch: int, loaders: Optional[List] = None) -> List[Dict]:
+    def validate(self, epoch: int, loaders: Optional[List] = None,
+                 save_folder: Optional[str] = None) -> List[Dict]:
         loaders = loaders if loaders is not None else self.val_loaders
         results = []
         for loader in loaders:
@@ -177,8 +181,48 @@ class Trainer:
                 for m in EVAL_MODES:
                     sums[m] += np.asarray(out[m]) * bsz
                 n += bsz
+                if save_folder:
+                    self._save_depth_outputs(save_folder, batch, out, bsz)
             results.append({m: sums[m] / max(n, 1) for m in EVAL_MODES})
         return results
+
+    def _save_depth_outputs(self, folder: str, batch, out, bsz: int):
+        """Test-time depth writers (reference utils/save.py:11 ``save_depth``):
+        npz/png depth + rgb/viz side-by-side per save.depth config flags."""
+        import os
+
+        from PIL import Image
+
+        from packnet_sfm_tpu.utils.save import write_depth
+        from packnet_sfm_tpu.utils.viz import viz_inv_depth
+
+        flags = self.config.save.depth
+        inv_depth = np.asarray(out["inv_depth"])
+        names = batch.get("filename") or [
+            f"sample_{int(i):010d}" for i in batch.get("idx", range(bsz))]
+        for i in range(bsz):
+            base = os.path.join(folder, str(names[i]))
+            depth_i = 1.0 / np.clip(inv_depth[i, ..., 0], 1e-6, None)
+            if flags.get("npz", True):
+                write_depth(base + ".npz", depth_i,
+                            intrinsics=batch["intrinsics"][i])
+            if flags.get("png", True):
+                write_depth(base + ".png", depth_i)
+            if flags.get("viz", True) or flags.get("rgb", True):
+                viz = viz_inv_depth(inv_depth[i, ..., 0])
+                panels = []
+                if flags.get("rgb", True):
+                    rgb = np.asarray(batch["rgb"][i])
+                    if rgb.shape[:2] != viz.shape[:2]:
+                        from packnet_sfm_tpu.datasets.augmentations import \
+                            resize_image
+                        rgb = resize_image(rgb, viz.shape[:2])
+                    panels.append(rgb)
+                if flags.get("viz", True):
+                    panels.append(viz)
+                img = (np.concatenate(panels, axis=0) * 255).astype(np.uint8)
+                os.makedirs(os.path.dirname(base) or ".", exist_ok=True)
+                Image.fromarray(img).save(base + "_viz.png")
 
     def fit(self):
         """Full training loop (reference horovod_trainer.py:32-71)."""
@@ -211,7 +255,9 @@ class Trainer:
     def test(self) -> List[Dict]:
         if self.state is None:
             raise RuntimeError("No state: init or resume first")
-        results = self.validate(0, loaders=self.test_loaders)
+        save_folder = self.config.save.get("folder", "")
+        results = self.validate(0, loaders=self.test_loaders,
+                                save_folder=save_folder or None)
         self.print_metrics(results)
         return results
 

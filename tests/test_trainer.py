@@ -89,10 +89,11 @@ class TestTrainer:
         t2.fit()
         assert t2.current_epoch == 2
 
-    def test_test_loop(self, tmp_path):
+    def test_test_loop_with_save(self, tmp_path):
         from packnet_sfm_tpu.engine.trainer import Trainer
 
         cfg = synthetic_config(tmp_path, max_epochs=1)
+        cfg.save.folder = str(tmp_path / "outputs")
         t = Trainer(cfg)
         first = next(iter(t.train_loaders[0].epoch(0)))
         t.init_state(first)
@@ -100,3 +101,11 @@ class TestTrainer:
         assert len(results) == 1
         for mode in ("depth", "depth_pp", "depth_gt", "depth_pp_gt"):
             assert np.isfinite(results[0][mode]).all()
+        saved = os.listdir(cfg.save.folder)
+        assert any(f.endswith(".npz") for f in saved)
+        assert any(f.endswith("_viz.png") for f in saved)
+        # saved npz depth round-trips through the loader
+        from packnet_sfm_tpu.utils.save import load_depth
+        f0 = [f for f in saved if f.endswith(".npz")][0]
+        d = load_depth(os.path.join(cfg.save.folder, f0))
+        assert d.ndim == 2 and np.isfinite(d).all()
