@@ -20,6 +20,13 @@ import os
 import time
 
 import jax
+
+# Persistent compile cache: full-train-step remote compiles take minutes on
+# the tunneled chip; a warm cache makes repeat bench runs start in seconds.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("PN_COMPILE_CACHE", "/root/.cache/jax_bench"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import numpy as np
 
 from __graft_entry__ import _flagship_model, _synthetic_batch
