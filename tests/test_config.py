@@ -27,8 +27,12 @@ class TestConfig:
         assert c.model.optimizer.depth.lr == 0.0002  # original unchanged
 
     def test_load_our_configs(self):
-        for name in ("overfit_kitti", "train_kitti", "overfit_synthetic",
-                     "train_ddad", "train_packnet_san_kitti", "train_omnicam"):
+        import glob
+        import os
+        names = [os.path.splitext(os.path.basename(p))[0]
+                 for p in glob.glob("configs/*.yaml")]
+        assert len(names) >= 11
+        for name in names:
             cfg = parse_train_config(f"configs/{name}.yaml")
             assert cfg.prepared
             assert cfg.model.name
