@@ -70,6 +70,7 @@ def get_default_config() -> ConfigNode:
             "max_epochs": 50,
             "validate_first": False,
             "dtype": "float32",        # TPU addition: compute dtype (float32|bfloat16)
+            "grad_accum": 1,           # TPU addition: gradient-accumulation microbatches
             "mesh": {"data": -1},      # TPU addition: device mesh axes (-1 = all chips)
         },
         "checkpoint": {

@@ -86,12 +86,18 @@ def make_train_step(
     mesh: Mesh,
     num_scales: Optional[int] = None,
     compute_dtype: jnp.dtype = jnp.float32,
+    grad_accum: int = 1,
 ):
     """Build the jitted, mesh-sharded train step.
 
     Returns step(state, metric_acc, batch, progress) -> (state, metric_acc).
     Batch leaves are sharded on their leading axis; state/acc are replicated
     and donated. Fetch metrics via ``metric_acc`` at epoch end.
+
+    grad_accum > 1 splits the batch into microbatches scanned inside the
+    step (gradients averaged, one optimizer update) — large effective batch
+    at microbatch activation memory; PackNet's fold-conv backward temps are
+    the HBM ceiling at full 192x640 (docs/DESIGN.md).
     """
 
     def loss_fn(params, state: TrainState, batch, rng, progress):
@@ -105,10 +111,47 @@ def make_train_step(
             progress=progress)
         return loss.astype(jnp.float32), (metrics, updates)
 
+    def _grads_and_metrics(state, batch, rng, progress):
+        if grad_accum <= 1:
+            (_, (metrics, updates)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, state, batch, rng, progress)
+            return grads, metrics, updates
+
+        def micro(batch_leaf):
+            # [G*m, ...] -> [G, m, ...]
+            return batch_leaf.reshape(
+                (grad_accum, batch_leaf.shape[0] // grad_accum)
+                + batch_leaf.shape[1:])
+
+        micro_batches = jax.tree_util.tree_map(micro, batch)
+
+        def body(carry, xs):
+            grads_sum, metrics_sum = carry
+            mb, i = xs
+            (_, (metrics, _upd)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(
+                    state.params, state, mb,
+                    jax.random.fold_in(rng, i), progress)
+            grads_sum = jax.tree_util.tree_map(jnp.add, grads_sum, grads)
+            # fixed carry structure: always all METRIC_KEYS
+            metrics_sum = {
+                k: metrics_sum[k] + metrics.get(k, jnp.zeros((), jnp.float32))
+                for k in METRIC_KEYS}
+            return (grads_sum, metrics_sum), None
+
+        zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        zero_m = {k: jnp.zeros((), jnp.float32) for k in METRIC_KEYS}
+        (grads, metrics), _ = jax.lax.scan(
+            body, (zero_g, zero_m),
+            (micro_batches, jnp.arange(grad_accum)))
+        inv = 1.0 / grad_accum
+        grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+        metrics = {k: v * inv for k, v in metrics.items()}
+        return grads, metrics, {}
+
     def step(state: TrainState, acc, batch, progress):
         rng = jax.random.fold_in(state.rng, state.step)
-        (_, (metrics, updates)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state, batch, rng, progress)
+        grads, metrics, updates = _grads_and_metrics(state, batch, rng, progress)
         grad_updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, grad_updates)
         new_stats = updates.get("batch_stats", state.batch_stats)

@@ -91,6 +91,13 @@ class Trainer:
         self.eval_step = make_eval_step(
             self.model, self.mesh, self.metrics_cfg, self.compute_dtype)
 
+        # W&B logging (rank 0 only, reference scripts/train.py:45-46)
+        from packnet_sfm_tpu.utils.wandb_logger import WandbLogger
+        self.logger = None
+        if jax.process_index() == 0 and not config.wandb.get("dry_run", True):
+            self.logger = WandbLogger(**config.wandb.to_dict())
+            self.logger.log_config(config.to_dict())
+
         ckpt_dir = config.checkpoint.get("filepath") or ""
         self.checkpoint = ModelCheckpoint(
             ckpt_dir, monitor=config.checkpoint.monitor,
@@ -134,7 +141,8 @@ class Trainer:
     def _train_step_for(self, num_scales: int):
         if num_scales not in self._train_steps:
             self._train_steps[num_scales] = make_train_step(
-                self.model, self.tx, self.mesh, num_scales, self.compute_dtype)
+                self.model, self.tx, self.mesh, num_scales, self.compute_dtype,
+                grad_accum=self.config.arch.get("grad_accum", 1))
         return self._train_steps[num_scales]
 
     # ------------------------------------------------------------------ loops
@@ -241,6 +249,14 @@ class Trainer:
             print(f"Epoch {epoch:03d} | loss {train_metrics.get('loss', 0):.4f} | "
                   f"{train_metrics['imgs_per_sec']:.1f} imgs/s")
             self.print_metrics(val_metrics)
+            if self.logger is not None:
+                step = int(jax.device_get(self.state.step))
+                logged = {f"train/{k}": v for k, v in train_metrics.items()}
+                for di, res in enumerate(val_metrics):
+                    for m in EVAL_MODES:
+                        for mi, name in enumerate(METRIC_NAMES):
+                            logged[f"val{di}/{m}/{name}"] = float(res[m][mi])
+                self.logger.log_metrics(logged, step)
             if self.checkpoint is not None and jax.process_index() == 0:
                 flat = {"loss": train_metrics.get("loss", 0.0)}
                 for di, res in enumerate(val_metrics):

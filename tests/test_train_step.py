@@ -150,3 +150,42 @@ def test_scaling_harness():
     for r in rows:
         assert np.isfinite(r["imgs_per_sec"]) and r["imgs_per_sec"] > 0
     assert rows[0]["efficiency"] == 1.0
+
+
+def test_grad_accumulation_equivalent():
+    """grad_accum=2 must produce the same update as a single full batch."""
+    from packnet_sfm_tpu.core.config import get_default_config
+    from packnet_sfm_tpu.engine.factory import make_optimizer, setup_model
+    from packnet_sfm_tpu.engine.train import (
+        TrainState, make_train_step, replicate_state, zero_metrics)
+    from packnet_sfm_tpu.models.sfm import init_model
+    from packnet_sfm_tpu.parallel.mesh import make_mesh, shard_batch
+
+    c = get_default_config()
+    c.model.name = "SelfSupModel"
+    c.model.depth_net.name = "DepthResNet"
+    c.model.depth_net.version = "18"
+    c.model.pose_net.name = "PoseNet"
+    c.model.loss.flip_lr_prob = 0.0
+    model = setup_model(c.model)
+    mesh = make_mesh()
+    rng = np.random.default_rng(0)
+    batch = make_batch(rng, b=8)
+    variables = init_model(model, jax.random.PRNGKey(0), batch)
+    host_vars = jax.device_get(variables)
+    tx = make_optimizer(c.model.optimizer, c.model.scheduler, 100)
+    sharded = shard_batch(batch, mesh)
+
+    def run(accum):
+        state = replicate_state(
+            TrainState.create(jax.device_put(host_vars), tx), mesh)
+        step = make_train_step(model, tx, mesh, grad_accum=accum)
+        state, acc = step(state, zero_metrics(), sharded)
+        return state, float(acc["loss"][0])
+
+    s1, l1 = run(1)
+    s2, l2 = run(2)
+    assert abs(l1 - l2) < 1e-4
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), s1.params, s2.params)
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-6
