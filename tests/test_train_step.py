@@ -163,17 +163,25 @@ def test_grad_accumulation_equivalent():
 
     c = get_default_config()
     c.model.name = "SelfSupModel"
-    c.model.depth_net.name = "DepthResNet"
-    c.model.depth_net.version = "18"
+    # GroupNorm-only nets: BatchNorm statistics legitimately differ between
+    # microbatches and the full batch, so a BN model (DepthResNet) can't be
+    # used for an exactness check.
+    c.model.depth_net.name = "PackNetSlim01"
+    c.model.depth_net.version = "1A"
     c.model.pose_net.name = "PoseNet"
     c.model.loss.flip_lr_prob = 0.0
+    import optax
+
     model = setup_model(c.model)
     mesh = make_mesh()
     rng = np.random.default_rng(0)
     batch = make_batch(rng, b=8)
     variables = init_model(model, jax.random.PRNGKey(0), batch)
     host_vars = jax.device_get(variables)
-    tx = make_optimizer(c.model.optimizer, c.model.scheduler, 100)
+    # SGD(1.0): post-update param difference == gradient difference.
+    # (Adam's step-1 update is ~sign(g), which amplifies 1e-8 gradient noise
+    # into 2*lr param differences — not an accumulation error.)
+    tx = optax.sgd(1.0)
     sharded = shard_batch(batch, mesh)
 
     def run(accum):
@@ -188,4 +196,4 @@ def test_grad_accumulation_equivalent():
     assert abs(l1 - l2) < 1e-4
     diffs = jax.tree_util.tree_map(
         lambda a, b: float(jnp.abs(a - b).max()), s1.params, s2.params)
-    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-6
+    assert max(jax.tree_util.tree_leaves(diffs)) < 5e-5
