@@ -7,7 +7,7 @@ numbers (BASELINE.md), so vs_baseline is the ratio against a fixed nominal
 
 Robustness: the pooled/tunneled chip shows contention and occasional remote-
 compile failures, so the run retries once on infrastructure errors and
-reports the median of 3 timing windows. Batch defaults to 2/chip
+reports the median of 3 timing windows. Batch defaults to 4/chip
 (PN_BENCH_BATCH overrides).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
@@ -32,7 +32,7 @@ import numpy as np
 from __graft_entry__ import _flagship_model, _synthetic_batch
 
 NOMINAL_REFERENCE_IMGS_PER_SEC = 10.0
-BATCH = int(os.environ.get("PN_BENCH_BATCH", "2"))
+BATCH = int(os.environ.get("PN_BENCH_BATCH", "4"))
 H, W = 192, 640
 WARMUP, ITERS, WINDOWS = 2, 5, 3
 

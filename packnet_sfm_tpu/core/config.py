@@ -124,7 +124,8 @@ def get_default_config() -> ConfigNode:
                 "supervised_num_scales": 4,
                 "supervised_loss_weight": 0.9,
             },
-            "depth_net": {"name": "", "checkpoint_path": "", "version": "", "dropout": 0.0},
+            "depth_net": {"name": "", "checkpoint_path": "", "version": "", "dropout": 0.0,
+                          "remat": False},
             "pose_net": {"name": "", "checkpoint_path": "", "version": "", "dropout": 0.0},
         },
         "datasets": {

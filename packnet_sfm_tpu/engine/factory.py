@@ -39,10 +39,16 @@ def setup_depth_net(cfg: ConfigNode, dtype=None):
     name = cfg.name
     version = cfg.get("version", "")
     dropout = cfg.get("dropout", 0.0) or None
+    # remat trades ~15-20% step time for activation HBM; off by default since
+    # the fold-conv fusion removed the dominant activations (docs/DESIGN.md).
+    # Turn on for HR configs (384x1280) or large per-chip batches.
+    remat = bool(cfg.get("remat", False))
     if name == "PackNet01":
-        return PackNet01(version=version[1:] or "A", dropout=dropout, dtype=dtype)
+        return PackNet01(version=version[1:] or "A", dropout=dropout, dtype=dtype,
+                         remat=remat)
     if name == "PackNetSlim01":
-        return PackNetSlim01(version=version[1:] or "A", dropout=dropout, dtype=dtype)
+        return PackNetSlim01(version=version[1:] or "A", dropout=dropout, dtype=dtype,
+                             remat=remat)
     if name == "DepthResNet":
         return DepthResNet(version=version.replace("pt", "") or "18")
     if name == "PackNetSAN01":

@@ -26,8 +26,11 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from packnet_sfm_tpu.nn.layers import Conv2dBlock, InvDepthHead, ResidualBlock, _conv_init
+from packnet_sfm_tpu.ops.fold_conv import channel_conv3d, fused_pack_conv
 from packnet_sfm_tpu.ops.packing import depth_to_space, space_to_depth
 from packnet_sfm_tpu.ops.image import interpolate_image
+
+import jax
 
 
 class ChannelConv3d(nn.Module):
@@ -38,9 +41,8 @@ class ChannelConv3d(nn.Module):
     materializes a tensor whose minor dimension is ``d``: on TPU a
     [..., d=8] minor dim is lane-padded 8->128, a measured 16x memory
     expansion (15 GB for a 960 MB intermediate) that starved HBM and
-    serialized the whole train step. Instead the conv is decomposed into 27
-    channel/spatially-shifted fused multiply-adds accumulated directly into
-    the folded [B, H, W, d*C] output (minor dim d*C >= 128, layout-friendly).
+    serialized the whole train step. The math lives in
+    ops/fold_conv.channel_conv3d (27 shifted FMAs into the folded layout).
 
     Param names/shapes match flax nn.Conv ('kernel' [3,3,3,1,d], 'bias' [d])
     so utils/torch_import mappings are unchanged.
@@ -51,34 +53,58 @@ class ChannelConv3d(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        b, h, w, cp = x.shape
         kernel = self.param("kernel", _conv_init, (3, 3, 3, 1, self.d))
         bias = self.param("bias", nn.initializers.zeros, (self.d,))
-        dtype = self.dtype or x.dtype
-        xc = x.astype(dtype)
-        kw_ = kernel.astype(dtype)
-        xp = jnp.pad(xc, ((0, 0), (1, 1), (1, 1), (1, 1)))
-        # 27 shifted FMAs, vectorized over the d output features by tiling the
-        # shifted slab d times along channels and scaling each Cp-block by its
-        # weight — the graph stays small (27 terms) and every tensor keeps a
-        # large minor dim. Channel order (c3 major, packed-channel minor)
-        # matches the reference fold.
-        acc = None
-        for kz in range(3):
-            for kh in range(3):
-                for kx in range(3):
-                    shifted = xp[:, kh:kh + h, kx:kx + w, kz:kz + cp]
-                    tiled = jnp.tile(shifted, (1, 1, 1, self.d))
-                    wvec = jnp.repeat(kw_[kz, kh, kx, 0], cp)  # [d*Cp]
-                    term = tiled * wvec[None, None, None, :]
-                    acc = term if acc is None else acc + term
-        return acc + jnp.repeat(bias.astype(dtype), cp)[None, None, None, :]
+        return channel_conv3d(x, kernel, bias, self.dtype or x.dtype)
+
+
+class _Conv2dParams(nn.Module):
+    """Declares nn.Conv-compatible params without running nn.Conv, so a fused
+    kernel can consume them while keeping the checkpoint tree identical."""
+
+    features: int
+    kernel_size: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.kernel_size
+        kernel = self.param("kernel", _conv_init,
+                            (k, k, self.in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class _FusedPackConvBlock(nn.Module):
+    """Fused conv3d∘fold∘conv2d (+ GroupNorm + ELU), param tree identical to
+    Conv2dBlock so it scopes as 'Conv2dBlock_0' in checkpoints."""
+
+    features: int
+    kernel_size: int
+    d: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, w3: jnp.ndarray, b3: jnp.ndarray) -> jnp.ndarray:
+        cp = x.shape[-1]
+        w2, b2 = _Conv2dParams(self.features, self.kernel_size,
+                               self.d * cp, name="Conv_0")()
+        y = fused_pack_conv(x, w3, b3, w2, b2, self.dtype or x.dtype)
+        y = nn.GroupNorm(num_groups=16, epsilon=1e-5, dtype=self.dtype,
+                         name="GroupNorm_0")(y)
+        return jax.nn.elu(y)
 
 
 class PackLayerConv3d(nn.Module):
     """Pack: space-to-depth -> 3D conv over packed channels -> 2D conv.
 
     Parity: layers01.py:213-247. Input [B, H, W, C] -> [B, H/2, W/2, C].
+
+    With ``fuse=True`` (default) the linear conv3d∘fold∘conv2d composition
+    collapses into one conv over the unexpanded packed channels
+    (ops/fold_conv.fused_pack_conv): exact to dtype rounding, ~2.5-4x fewer
+    FLOPs, and the [B, H, W, d*Cp] activation never exists — this was the
+    batch-4 HBM-OOM tensor family on v5e. Params are identical either way.
     """
 
     features: int        # in == out channel count C
@@ -86,12 +112,30 @@ class PackLayerConv3d(nn.Module):
     r: int = 2
     d: int = 8           # number of 3D features
     dtype: Optional[jnp.dtype] = None
+    fuse: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = space_to_depth(x, self.r)                      # [B, H/r, W/r, C*r*r]
-        x = ChannelConv3d(self.d, self.dtype, name="Conv_0")(x)
-        return Conv2dBlock(self.features, self.kernel_size, 1, self.dtype)(x)
+        if not self.fuse:
+            x = ChannelConv3d(self.d, self.dtype, name="Conv_0")(x)
+            return Conv2dBlock(self.features, self.kernel_size, 1, self.dtype,
+                               name="Conv2dBlock_0")(x)
+        w3 = _Conv3dParams(self.d, name="Conv_0")()
+        return _FusedPackConvBlock(self.features, self.kernel_size, self.d,
+                                   self.dtype, name="Conv2dBlock_0")(x, *w3)
+
+
+class _Conv3dParams(nn.Module):
+    """Declares ChannelConv3d-compatible params for the fused path."""
+
+    d: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", _conv_init, (3, 3, 3, 1, self.d))
+        bias = self.param("bias", nn.initializers.zeros, (self.d,))
+        return kernel, bias
 
 
 class UnpackLayerConv3d(nn.Module):
@@ -128,14 +172,15 @@ class PackNetBase(nn.Module):
     num_3d_feat: int = 8
     out_channels: int = 1
     dtype: Optional[jnp.dtype] = None
-    remat: bool = True
+    remat: bool = False
+    fuse: bool = True
 
     @nn.compact
     def __call__(self, rgb: jnp.ndarray, *, train: bool = True) -> list:
-        # Rematerialize pack/unpack layers: their 3D-conv intermediates are
-        # [B, C*4, H/2, W/2, d] — ~1 GB each at 192x640 — and dominate
-        # activation memory if saved for backward. Recompute-in-backward
-        # trades ~15% extra FLOPs for ~8 GB of HBM at the flagship config.
+        # Optional recompute-in-backward for the pack/unpack layers. With the
+        # fold-conv fusion (fuse=True) their big d*Cp intermediates no longer
+        # exist, so remat defaults OFF (measured +19% step time for HBM we
+        # don't need at 192x640 b4). Enable for HR/large-batch configs.
         Pack = nn.remat(PackLayerConv3d) if self.remat else PackLayerConv3d
         Unpack = nn.remat(UnpackLayerConv3d) if self.remat else UnpackLayerConv3d
         v = self.version
@@ -166,15 +211,15 @@ class PackNetBase(nn.Module):
 
         # Encoder: conv_i -> pack_i
         x1 = Conv2dBlock(n1, 7, 1, self.dtype, name="conv1")(x)
-        x1p = Pack(n1, pack_kernel[0], d=d, dtype=self.dtype, name="pack1")(x1)
+        x1p = Pack(n1, pack_kernel[0], d=d, dtype=self.dtype, fuse=self.fuse, name="pack1")(x1)
         x2 = ResidualBlock(n2, self.num_blocks[0], 1, self.dropout, self.dtype, name="conv2")(x1p, train=train)
-        x2p = Pack(n2, pack_kernel[1], d=d, dtype=self.dtype, name="pack2")(x2)
+        x2p = Pack(n2, pack_kernel[1], d=d, dtype=self.dtype, fuse=self.fuse, name="pack2")(x2)
         x3 = ResidualBlock(n3, self.num_blocks[1], 1, self.dropout, self.dtype, name="conv3")(x2p, train=train)
-        x3p = Pack(n3, pack_kernel[2], d=d, dtype=self.dtype, name="pack3")(x3)
+        x3p = Pack(n3, pack_kernel[2], d=d, dtype=self.dtype, fuse=self.fuse, name="pack3")(x3)
         x4 = ResidualBlock(n4, self.num_blocks[2], 1, self.dropout, self.dtype, name="conv4")(x3p, train=train)
-        x4p = Pack(n4, pack_kernel[3], d=d, dtype=self.dtype, name="pack4")(x4)
+        x4p = Pack(n4, pack_kernel[3], d=d, dtype=self.dtype, fuse=self.fuse, name="pack4")(x4)
         x5 = ResidualBlock(n5, self.num_blocks[3], 1, self.dropout, self.dtype, name="conv5")(x4p, train=train)
-        x5p = Pack(n5, pack_kernel[4], d=d, dtype=self.dtype, name="pack5")(x5)
+        x5p = Pack(n5, pack_kernel[4], d=d, dtype=self.dtype, fuse=self.fuse, name="pack5")(x5)
 
         skip1, skip2, skip3, skip4, skip5 = x, x1p, x2p, x3p, x4p
 
