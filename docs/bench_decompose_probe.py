@@ -66,7 +66,11 @@ def main():
         state, acc = step(state, acc, sharded)
     _ = float(acc["loss"][0])
     full = (time.perf_counter() - t0) / ITERS * 1000
-    print(f"full train step:        {full:7.1f} ms")
+    print(f"full train step:        {full:7.1f} ms", flush=True)
+
+    # free optimizer state before the non-donated probes (HBM headroom)
+    params = jax.device_put(state.params)
+    del state, acc
 
     def cast(b):
         return jax.tree_util.tree_map(
@@ -76,28 +80,30 @@ def main():
     rng = jax.random.PRNGKey(1)
 
     @jax.jit
-    def loss_only(params, b):
-        loss, _aux = model_loss(model, {"params": params}, cast(b), rng)
-        return loss.astype(jnp.float32)
-
-    print(f"loss fwd only:          {timeit(loss_only, state.params, sharded):7.1f} ms")
-
-    @jax.jit
-    def depth_only(params, b):
-        out, _ = model_forward(model, {"params": params},
+    def depth_only(p, b):
+        out, _ = model_forward(model, {"params": p},
                                {"rgb": b["rgb"].astype(jnp.bfloat16)}, train=False)
         return out["inv_depths"][0]
 
-    print(f"depth net fwd (1 img):  {timeit(depth_only, state.params, sharded):7.1f} ms")
+    @jax.jit
+    def loss_only(p, b):
+        loss, _aux = model_loss(model, {"params": p}, cast(b), rng)
+        return loss.astype(jnp.float32)
 
     @jax.jit
-    def grad_only(params, b):
-        def f(p):
-            loss, _ = model_loss(model, {"params": p}, cast(b), rng)
+    def grad_only(p, b):
+        def f(q):
+            loss, _ = model_loss(model, {"params": q}, cast(b), rng)
             return loss.astype(jnp.float32)
-        return jax.grad(f)(params)
+        return jax.grad(f)(p)
 
-    print(f"fwd+bwd (no optimizer): {timeit(grad_only, state.params, sharded):7.1f} ms")
+    for label, fn in [("depth net fwd (1 img)", depth_only),
+                      ("loss fwd only", loss_only),
+                      ("fwd+bwd (no optimizer)", grad_only)]:
+        try:
+            print(f"{label:23s} {timeit(fn, params, sharded):7.1f} ms", flush=True)
+        except Exception as e:
+            print(f"{label:23s} FAILED {type(e).__name__}: {str(e)[:120]}", flush=True)
 
 
 if __name__ == "__main__":

@@ -16,6 +16,8 @@ models/model_wrapper.py step/epoch plumbing, TPU-first:
 
 from __future__ import annotations
 
+import os
+import tempfile
 import time
 from typing import Dict, List, Optional
 
@@ -88,6 +90,11 @@ class Trainer:
 
         self.state: Optional[TrainState] = None
         self._train_steps: Dict[int, callable] = {}
+        # Preemption handling (upgrade over the reference, which dies
+        # atomically on SIGTERM — SURVEY §5.3): SIGTERM/SIGINT set a flag,
+        # the loops drain at the next batch boundary, and an emergency
+        # checkpoint is written so a re-launch resumes the interrupted epoch.
+        self._preempt_requested = False
         self.eval_step = make_eval_step(
             self.model, self.mesh, self.metrics_cfg, self.compute_dtype)
 
@@ -161,9 +168,13 @@ class Trainer:
         t0 = time.perf_counter()
         for loader in self.train_loaders:
             for batch in loader.epoch(epoch):
+                if self._preempt_requested:
+                    break
                 sharded = shard_batch(_device_batch(batch), self.mesh)
                 self.state, acc = step_fn(self.state, acc, sharded, progress)
                 images += batch["rgb"].shape[0]
+            if self._preempt_requested:
+                break
         # single host fetch per epoch (per-step fetches would serialize the
         # device pipeline, especially over remote backends)
         acc_host = jax.device_get(acc)
@@ -232,8 +243,38 @@ class Trainer:
                 os.makedirs(os.path.dirname(base) or ".", exist_ok=True)
                 Image.fromarray(img).save(base + "_viz.png")
 
+    def _install_preemption_handlers(self):
+        import signal
+
+        def handler(signum, _frame):
+            self._preempt_requested = True
+            print(f"### Caught signal {signum}: checkpointing at the next "
+                  "batch boundary, then exiting", flush=True)
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                signal.signal(sig, handler)
+            except ValueError:
+                pass  # not the main thread (e.g. under a test runner)
+
+    def _emergency_save(self, epoch: int) -> Optional[str]:
+        """Checkpoint the live state mid-run so the interrupted epoch can be
+        redone on re-launch (`train <path>` restores config+state+epoch)."""
+        if jax.process_index() != 0:
+            return None
+        from packnet_sfm_tpu.engine.checkpoint import save_checkpoint
+        ckpt_dir = (self.config.checkpoint.get("filepath")
+                    or os.path.join(tempfile.gettempdir(), "packnet_sfm_preempt"))
+        path = os.path.join(ckpt_dir, f"preempt_epoch={epoch:02d}.ckpt")
+        # resume() restores at meta.epoch + 1, so record epoch-1 to redo it
+        save_checkpoint(path, self.state, self.config.to_dict(), epoch - 1)
+        print(f"### Preempted: saved {path}; resume with `cli.train {path}`",
+              flush=True)
+        return path
+
     def fit(self):
         """Full training loop (reference horovod_trainer.py:32-71)."""
+        self._install_preemption_handlers()
         if self.state is None:
             first = next(iter(self.train_loaders[0].epoch(0)))
             self.init_state(first)
@@ -245,6 +286,9 @@ class Trainer:
             train_metrics = self.train_epoch(epoch)
             if self.profile_dir and epoch == 1:
                 jax.profiler.stop_trace()
+            if self._preempt_requested:
+                self._emergency_save(epoch)
+                return
             val_metrics = self.validate(epoch)
             print(f"Epoch {epoch:03d} | loss {train_metrics.get('loss', 0):.4f} | "
                   f"{train_metrics['imgs_per_sec']:.1f} imgs/s")
