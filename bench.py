@@ -32,7 +32,7 @@ import numpy as np
 from __graft_entry__ import _flagship_model, _synthetic_batch
 
 NOMINAL_REFERENCE_IMGS_PER_SEC = 10.0
-BATCH = int(os.environ.get("PN_BENCH_BATCH", "4"))
+BATCH = int(os.environ.get("PN_BENCH_BATCH", "8"))
 H, W = 192, 640
 WARMUP, ITERS, WINDOWS = 2, 5, 3
 

@@ -208,12 +208,16 @@ def make_eval_step(
 
     def step(state: TrainState, batch):
         variables = state.variables()
-        out, _ = model_forward(model, variables, {"rgb": batch["rgb"]}, train=False)
-        inv_depth = out["inv_depths"][0].astype(jnp.float32)
-        flipped_batch = {"rgb": flip_lr(batch["rgb"])}
-        out_f, _ = model_forward(model, variables, flipped_batch, train=False)
-        inv_depth_pp = post_process_inv_depth(
-            inv_depth, out_f["inv_depths"][0].astype(jnp.float32))
+        # One batched forward for [straight; flipped] instead of two: the
+        # flip-TTA pass rides the same kernels at 2x occupancy, which is
+        # nearly free on TPU where small-batch conv steps are launch/
+        # bandwidth-bound (reference runs two forwards, model_wrapper.py:299).
+        rgb2 = jnp.concatenate([batch["rgb"], flip_lr(batch["rgb"])], axis=0)
+        out2, _ = model_forward(model, variables, {"rgb": rgb2}, train=False)
+        b = batch["rgb"].shape[0]
+        inv2 = out2["inv_depths"][0].astype(jnp.float32)
+        inv_depth = inv2[:b]
+        inv_depth_pp = post_process_inv_depth(inv_depth, inv2[b:])
 
         depth = 1.0 / jnp.clip(inv_depth, min=1e-6)
         depth_pp = 1.0 / jnp.clip(inv_depth_pp, min=1e-6)
