@@ -51,6 +51,11 @@ def projection_temperature(progress: float, start: float = 1e-4,
     return float(np.maximum(floor, start / np.exp(constant * progress)))
 
 
+def _pallas_projector_available(h: int, w: int, patch: int) -> bool:
+    from packnet_sfm_tpu.ops import pallas_softargmax as psa
+    return psa.supported(h, w, patch)
+
+
 def generic_project(
     cam: GenericCamera,
     X: jnp.ndarray,
@@ -58,11 +63,18 @@ def generic_project(
     patch: int = 20,
     downsample: bool = True,
     row_chunk: int = 8,
+    projector: str = "auto",
 ) -> jnp.ndarray:
     """Project world points [B, H, W, 3] to normalized coords [B, H, W, 2].
 
     temperature must be resolved host-side (static) from
     ``projection_temperature(progress)`` so the graph stays static.
+
+    projector: 'auto' uses the Pallas streaming soft-argmax kernel
+    (ops/pallas_softargmax.py) on TPU backends when the shape qualifies and
+    the XLA chunked path otherwise; 'xla' / 'pallas' / 'pallas_interpret'
+    force a path ('pallas_interpret' runs the kernel in interpreter mode for
+    CPU parity tests).
     """
     b, H, W, _ = X.shape
     rays = cam.rays
@@ -78,6 +90,22 @@ def generic_project(
     k = 2 * patch + 1
     direction = X / jnp.clip(
         jnp.linalg.norm(X, axis=-1, keepdims=True), min=1e-8)
+
+    if projector == "auto":
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        projector = ("pallas" if on_tpu and _pallas_projector_available(h, w, patch)
+                     else "xla")
+    if projector in ("pallas", "pallas_interpret"):
+        from packnet_sfm_tpu.ops.pallas_softargmax import softargmax_coords
+        ex, ey = softargmax_coords(
+            direction.transpose(0, 3, 1, 2), rays.transpose(0, 3, 1, 2),
+            float(temperature), patch, projector == "pallas_interpret")
+        un = 2.0 * ex / (w - 1) - 1.0
+        vn = 2.0 * ey / (h - 1) - 1.0
+        out = jnp.stack([un, vn], axis=-1)
+        if downsample:
+            out = interpolate_image(out, (H, W), mode="bilinear")
+        return out
     # Border-clamped window starts, separable per axis
     # (reference _get_patch_coords shifts whole windows inside the image).
     sy = jnp.clip(jnp.arange(h) - patch, 0, h - k)    # [h]
