@@ -62,6 +62,65 @@ class TestInferCLI:
         assert d.shape == (32, 64) and np.isfinite(d).all()
 
 
+class TestArgvMains:
+    """Exercise the real argparse entry points (``main()``) end to end —
+    reference UX parity: scripts/{eval,infer,evaluate_depth_maps}.py."""
+
+    def test_eval_main_half(self, trained_ckpt, monkeypatch, capsys):
+        from packnet_sfm_tpu.cli import eval as eval_cli
+
+        monkeypatch.setattr("sys.argv", [
+            "eval", "--checkpoint", trained_ckpt, "--half"])
+        eval_cli.main()
+        out = capsys.readouterr().out
+        assert "abs_rel" in out  # metric table printed
+
+    def test_infer_main_folder_npz(self, trained_ckpt, monkeypatch, tmp_path):
+        from packnet_sfm_tpu.cli import infer as infer_cli
+        from packnet_sfm_tpu.utils.save import load_depth
+
+        rng = np.random.default_rng(3)
+        in_dir, out_dir = tmp_path / "in", tmp_path / "out"
+        os.makedirs(in_dir)
+        for k in range(3):
+            Image.fromarray((rng.uniform(size=(32, 64, 3)) * 255).astype(
+                np.uint8)).save(in_dir / f"{k:06d}.png")
+        monkeypatch.setattr("sys.argv", [
+            "infer", "--checkpoint", trained_ckpt, "--input", str(in_dir),
+            "--output", str(out_dir), "--image_shape", "32", "64",
+            "--save", "npz"])
+        infer_cli.main()
+        for k in range(3):
+            d = load_depth(str(out_dir / f"{k:06d}.npz"))
+            assert d.shape == (32, 64) and np.isfinite(d).all() and (d > 0).all()
+
+    def test_evaluate_depth_maps_main(self, monkeypatch, tmp_path, capsys):
+        from packnet_sfm_tpu.cli import evaluate_depth_maps as edm
+        from packnet_sfm_tpu.utils.save import write_depth
+
+        rng = np.random.default_rng(4)
+        pred_dir, gt_dir = tmp_path / "pred", tmp_path / "gt"
+        os.makedirs(pred_dir), os.makedirs(gt_dir)
+        for k in range(2):
+            # keep 2*gt below max_depth so the pred clamp doesn't bite
+            gt = rng.uniform(1.0, 30.0, size=(16, 32)).astype(np.float32)
+            write_depth(str(gt_dir / f"{k}.npz"), gt)
+            write_depth(str(pred_dir / f"{k}.npz"), 2.0 * gt)  # scale-off pred
+        argv = ["edm", "--pred_folder", str(pred_dir), "--gt_folder",
+                str(gt_dir), "--min_depth", "0.5", "--max_depth", "80"]
+        monkeypatch.setattr("sys.argv", argv)
+        edm.main()
+        plain = capsys.readouterr().out.strip().splitlines()[-1]
+        abs_rel = float(plain.split("|")[1])
+        assert abs_rel == pytest.approx(1.0, abs=1e-3)  # |2g-g|/g = 1
+
+        # gt-median scaling folds the 2x away -> near-perfect metrics
+        monkeypatch.setattr("sys.argv", argv + ["--use_gt_scale", "--crop", "garg"])
+        edm.main()
+        scaled = capsys.readouterr().out.strip().splitlines()[-1]
+        assert float(scaled.split("|")[1]) == pytest.approx(0.0, abs=1e-4)
+
+
 class TestOdometryCLI:
     def test_trajectory_over_frames(self, trained_ckpt, tmp_path):
         from packnet_sfm_tpu.cli.odometry import run_odometry
