@@ -46,6 +46,10 @@ def run_once() -> float:
 
     cfg, _ = _flagship_model()
     cfg.arch.dtype = "bfloat16"
+    # Remat trades ~19% step time for ~2x activation HBM; needed for
+    # batch >= 16 per chip (batch 16 without remat: 35 GB > 15.75 GB HBM).
+    if os.environ.get("PN_BENCH_REMAT", "0") == "1":
+        cfg.model.depth_net.remat = True
     model = setup_model(cfg.model, dtype=jax.numpy.bfloat16)
     mesh = make_mesh()
     n_chips = mesh.devices.size
