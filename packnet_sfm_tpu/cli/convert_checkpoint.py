@@ -19,9 +19,36 @@ import numpy as np
 
 def parse_args():
     p = argparse.ArgumentParser(description="reference ckpt -> packnet-sfm-tpu")
-    p.add_argument("--input", type=str, required=True, help="torch .ckpt")
-    p.add_argument("--output", type=str, required=True, help="output ckpt dir")
+    p.add_argument("--input", type=str, required=True,
+                   help="torch .ckpt (or torchvision .pth with --imagenet)")
+    p.add_argument("--output", type=str, required=True,
+                   help="output ckpt dir (or .npz artifact with --imagenet)")
+    p.add_argument("--imagenet", action="store_true",
+                   help="input is a torchvision ResNet state_dict; emit an "
+                        "encoder-weights npz artifact for "
+                        "model.*_net.pretrained_path ('18pt' configs)")
     return p.parse_args()
+
+
+def convert_imagenet_encoder(input_path: str, output_path: str) -> str:
+    """torchvision ResNet state_dict (.pth) -> pretrained-encoder npz artifact.
+
+    The artifact initializes '18pt'/'50pt' encoders (reference
+    resnet_encoder.py:78-84 ``models.resnet18(pretrained)``) without needing
+    torch at train time.
+    """
+    import torch
+
+    from packnet_sfm_tpu.utils import torch_import as ti
+
+    obj = torch.load(input_path, map_location="cpu", weights_only=False)
+    sd = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
+    sd = ti.state_dict_to_numpy(sd)
+    params, stats = ti.resnet_encoder_from_torch(sd, prefix="")
+    ti.save_encoder_artifact(output_path, params, stats)
+    n = sum(v.size for v in ti._flatten_tree(params).values())
+    print(f"converted {n / 1e6:.2f}M encoder params -> {output_path}")
+    return output_path
 
 
 def _strip(sd, prefix):
@@ -118,7 +145,10 @@ def convert(input_path: str, output_path: str) -> str:
 
 def main():
     a = parse_args()
-    convert(a.input, a.output)
+    if a.imagenet:
+        convert_imagenet_encoder(a.input, a.output)
+    else:
+        convert(a.input, a.output)
 
 
 if __name__ == "__main__":

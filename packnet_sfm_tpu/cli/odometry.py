@@ -49,7 +49,7 @@ def run_odometry(checkpoint, input_dir, output=None, gt=None, image_shape=None,
         absolute_trajectory_error, load_kitti_odometry_poses,
         relative_pose_error, save_kitti_odometry_poses)
     from packnet_sfm_tpu.egomotion.odometry import (
-        predict_relative_poses, refine_relative_poses,
+        predict_relative_poses, predict_skip_poses, refine_relative_poses,
         refine_trajectory_windowed, trajectory_from_relative)
     from packnet_sfm_tpu.engine.checkpoint import restore_checkpoint
     from packnet_sfm_tpu.engine.factory import setup_model
@@ -82,7 +82,12 @@ def run_odometry(checkpoint, input_dir, output=None, gt=None, image_shape=None,
         rel = refine_relative_poses(model, variables, frames, K, rel)
     traj = trajectory_from_relative(rel)
     if refine_ba:
-        traj = refine_trajectory_windowed(traj, rel, window=window)
+        # Independent skip-stride pose measurements give the window graph
+        # real averaging power over chained-odometry drift.
+        extra = (predict_skip_poses(model, variables, frames, stride=2)
+                 + predict_skip_poses(model, variables, frames, stride=3))
+        traj = refine_trajectory_windowed(traj, rel, window=window,
+                                          extra_edges=extra)
 
     if output:
         save_kitti_odometry_poses(output, traj)

@@ -125,8 +125,9 @@ def get_default_config() -> ConfigNode:
                 "supervised_loss_weight": 0.9,
             },
             "depth_net": {"name": "", "checkpoint_path": "", "version": "", "dropout": 0.0,
-                          "remat": False},
-            "pose_net": {"name": "", "checkpoint_path": "", "version": "", "dropout": 0.0},
+                          "remat": False, "pretrained_path": ""},
+            "pose_net": {"name": "", "checkpoint_path": "", "version": "", "dropout": 0.0,
+                         "pretrained_path": ""},
         },
         "datasets": {
             "augmentation": {

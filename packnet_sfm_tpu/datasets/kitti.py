@@ -37,7 +37,16 @@ OXTS_POSE_DATA = "oxts"
 
 
 def load_image(path: str) -> np.ndarray:
-    """RGB image as float32 [H, W, 3] in [0, 1]."""
+    """RGB image as float32 [H, W, 3] in [0, 1].
+
+    Decodes through the native C++ pipeline when available (the loader hot
+    path — PIL is the fallback, and the parity of both paths is pinned by
+    tests/test_native.py)."""
+    if path.lower().endswith((".jpg", ".jpeg", ".png")):
+        from packnet_sfm_tpu.native import decode_image
+        arr = decode_image(path)
+        if arr is not None:
+            return arr.astype(np.float32) / 255.0
     with Image.open(path) as im:
         return np.asarray(im.convert("RGB")).astype(np.float32) / 255.0
 

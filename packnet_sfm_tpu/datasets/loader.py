@@ -90,8 +90,10 @@ class DataLoader:
             idxs = order[bi * self.batch_size:(bi + 1) * self.batch_size]
             if not self.drop_last and len(idxs) < self.batch_size and len(idxs) > 0:
                 # pad by wrapping so shapes stay static; 'pad_count' marks them
+                # (np.resize wraps cyclically, so shards smaller than one
+                # batch still fill up)
                 pad = self.batch_size - len(idxs)
-                idxs = np.concatenate([idxs, order[:pad]])
+                idxs = np.concatenate([idxs, np.resize(order, pad)])
                 batch = collate([self.dataset[int(i)] for i in idxs])
                 batch["pad_count"] = pad
                 return batch
@@ -176,6 +178,19 @@ def setup_dataset(cfg, mode: str, aug_cfg, seed: int = 42, requirements=None):
                          aug_cfg, seed)
     datasets = []
     for i, name in enumerate(cfg.dataset):
+        # Enforce the model's train-data requirements (reference
+        # _train_requirements protocol, setup_dataset model_wrapper.py:474):
+        # a supervised/completion model cannot train without the gt signal.
+        if mode == "train" and name not in ("Synthetic",):
+            if requirements.get("gt_depth") and not cfg.depth_type[i]:
+                raise ValueError(
+                    f"Model requires gt depth but train dataset {i} ({name}) "
+                    "has no depth_type configured")
+            if requirements.get("input_depth") and not (
+                    i < len(cfg.input_depth_type) and cfg.input_depth_type[i]):
+                raise ValueError(
+                    f"Model requires input (lidar) depth but train dataset "
+                    f"{i} ({name}) has no input_depth_type configured")
         common = dict(
             train=(mode == "train"),
             data_transform=tfm,
@@ -221,14 +236,20 @@ def setup_dataset(cfg, mode: str, aug_cfg, seed: int = 42, requirements=None):
 
 
 def setup_dataloader(datasets, cfg, mode: str, seed: int = 42):
-    """DataLoaders for each dataset of a split (model_wrapper.py:569-599)."""
+    """DataLoaders for each dataset of a split (model_wrapper.py:569-599).
+
+    Train drops the last partial batch (static shapes, one compile);
+    validation/test must see EVERY sample (reference eval protocol,
+    horovod_trainer.py:105-155 + utils/reduce.py seen-count assert), so the
+    last batch is padded by wrapping and pad rows are masked downstream.
+    """
     return [
         DataLoader(
             d,
             batch_size=cfg.batch_size,
             shuffle=(mode == "train"),
             seed=seed,
-            drop_last=True,
+            drop_last=(mode == "train"),
             num_workers=cfg.get("num_workers", 8),
         )
         for d in datasets

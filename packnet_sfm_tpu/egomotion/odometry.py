@@ -60,6 +60,43 @@ def predict_relative_poses(model, variables, frames: np.ndarray,
     return np.concatenate(rels, axis=0)
 
 
+def predict_skip_poses(model, variables, frames: np.ndarray,
+                       stride: int = 2, batch_pairs: int = 8) -> List[tuple]:
+    """Independent pose measurements for (k, k+stride) frame pairs.
+
+    These are *new measurements* (the pose net sees the actual frame pair),
+    not compositions of the consecutive predictions — so the windowed pose
+    graph gets genuinely independent constraints and can average down the
+    random-walk drift of chained odometry. Returns [(i, j, Z, w), ...]
+    suitable for ``refine_trajectory_windowed(extra_edges=...)``.
+    """
+    n = frames.shape[0]
+    if n <= stride:
+        return []
+
+    @jax.jit
+    def pair_poses(targets, refs):
+        out, _ = model_forward(
+            model, variables,
+            {"rgb": targets, "rgb_context": [refs, refs]}, train=False)
+        return out["poses"][0]
+
+    edges = []
+    ks = list(range(0, n - stride))
+    for s in range(0, len(ks), batch_pairs):
+        chunk = ks[s:s + batch_pairs]
+        t = jnp.asarray(frames[[k for k in chunk]])
+        r = jnp.asarray(frames[[k + stride for k in chunk]])
+        pad = batch_pairs - len(chunk)
+        if pad:
+            t = jnp.concatenate([t, jnp.repeat(t[-1:], pad, 0)])
+            r = jnp.concatenate([r, jnp.repeat(r[-1:], pad, 0)])
+        Z = np.asarray(pair_poses(t, r))
+        for ci, k in enumerate(chunk):
+            edges.append((k, k + stride, Z[ci], 0.7))
+    return edges
+
+
 def refine_relative_poses(model, variables, frames, intrinsics,
                           relative: np.ndarray,
                           num_iterations: int = 8) -> np.ndarray:
@@ -111,9 +148,13 @@ def refine_trajectory_windowed(
         ii, jj, Zs, ws = [], [], [], []
         for k in range(s, e - 1):
             ii.append(k - s); jj.append(k - s + 1); Zs.append(relative[k]); ws.append(1.0)
-        for k in range(s, e - 2):
-            Z2 = relative[k] @ relative[k + 1]
-            ii.append(k - s); jj.append(k - s + 2); Zs.append(Z2); ws.append(0.5)
+        if not extra_edges:
+            # Composed skip-2 edges are only a smoothness prior (no new
+            # information); use them solely when no independent measurements
+            # (predict_skip_poses / loop closures) are available.
+            for k in range(s, e - 2):
+                Z2 = relative[k] @ relative[k + 1]
+                ii.append(k - s); jj.append(k - s + 2); Zs.append(Z2); ws.append(0.5)
         for (i, j, Z, w) in extra_edges:
             if s <= i < e and s <= j < e:
                 ii.append(i - s); jj.append(j - s); Zs.append(Z); ws.append(w)

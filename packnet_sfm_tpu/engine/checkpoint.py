@@ -161,3 +161,64 @@ def restore_checkpoint(path: str, target_state=None):
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     return state, meta
+
+
+def load_pretrained_encoder(artifact_path: str, variables: Dict, network: str,
+                            num_input_images: int = 1) -> Dict:
+    """Graft ImageNet-pretrained ResNet encoder weights into ``variables``.
+
+    Parity with reference resnet_encoder.py:78-97 (``models.resnet18(
+    pretrained)`` + ``resnet_multiimage_input``): configs with version
+    '18pt'/'50pt' initialize the encoder from converted torchvision weights
+    (an npz artifact produced offline by cli/convert_checkpoint.py
+    --imagenet). ``num_input_images`` widens conv1 for PoseResNet's stacked
+    frames.
+    """
+    import numpy as np
+
+    from packnet_sfm_tpu.utils.torch_import import (
+        adapt_conv1_multiimage,
+        load_encoder_artifact,
+    )
+
+    enc_params, enc_stats = load_encoder_artifact(artifact_path)
+    if num_input_images > 1 and "conv1" in enc_params:
+        enc_params["conv1"]["kernel"] = adapt_conv1_multiimage(
+            enc_params["conv1"]["kernel"], num_input_images)
+
+    n_loaded = 0
+
+    def merge(dst, src, where):
+        nonlocal n_loaded
+        out = dict(dst)
+        for k, v in src.items():
+            if k not in dst:
+                raise KeyError(f"pretrained artifact key {where}/{k} not in model")
+            if isinstance(v, dict):
+                out[k] = merge(dst[k], v, f"{where}/{k}")
+            else:
+                if np.shape(dst[k]) != np.shape(v):
+                    raise ValueError(
+                        f"pretrained shape mismatch at {where}/{k}: "
+                        f"{np.shape(v)} vs model {np.shape(dst[k])}")
+                out[k] = np.asarray(v, dtype=np.asarray(dst[k]).dtype)
+                n_loaded += 1
+        return out
+
+    updated = dict(variables)
+    params = dict(updated["params"])
+    net_params = dict(params[network])
+    net_params["encoder"] = merge(net_params["encoder"], enc_params,
+                                  f"{network}/encoder")
+    params[network] = net_params
+    updated["params"] = params
+    if enc_stats and "batch_stats" in updated:
+        stats = dict(updated["batch_stats"])
+        net_stats = dict(stats.get(network, {}))
+        net_stats["encoder"] = merge(net_stats.get("encoder", {}), enc_stats,
+                                     f"{network}/encoder(stats)")
+        stats[network] = net_stats
+        updated["batch_stats"] = stats
+    print(f"### Loaded {n_loaded} pretrained encoder tensors for {network} "
+          f"from {artifact_path}")
+    return updated

@@ -78,6 +78,13 @@ def setup_model(cfg: ConfigNode, dtype=None) -> SfmModelDef:
     loss = cfg.loss
     depth_net = setup_depth_net(cfg.depth_net, dtype)
     needs_pose = cfg.name != "SfmModel" or cfg.pose_net.get("name")
+    # Fully-supervised weight (w == 1) drops the pose net and the whole
+    # photometric graph (reference SemiSupModel.py:60-70 skips pose/
+    # photometric entirely at weight 1.0) — no wasted compute, and training
+    # works on datasets without temporal contexts.
+    if (cfg.name in ("SemiSupModel", "SemiSupCompletionModel")
+            and loss.supervised_loss_weight >= 1.0):
+        needs_pose = False
     pose_net = setup_pose_net(cfg.pose_net, dtype) if needs_pose else None
     photometric = MultiViewPhotometricConfig(
         num_scales=loss.num_scales,

@@ -53,17 +53,20 @@ def garg_crop_mask(h: int, w: int, dtype=jnp.float32) -> jnp.ndarray:
     return m.at[y1:y2, x1:x2].set(1.0)
 
 
-def compute_depth_metrics(
+def compute_depth_metrics_per_sample(
     gt: jnp.ndarray,
     pred: jnp.ndarray,
     cfg: DepthMetricsConfig,
     use_gt_scale: bool = True,
 ) -> jnp.ndarray:
-    """Per-batch mean of the 7 depth metrics, [B, 7] reduced to [7].
+    """Per-sample 7 depth metrics, [B, 7] (no batch reduction).
 
     gt/pred: [B, H, W, 1] depth maps (pred is resized to gt resolution).
-    Samples with zero valid pixels contribute zeros (reference ``continue``
-    at utils/depth.py:298-299) — the divisor stays the full batch size.
+    Samples with zero valid pixels contribute zero rows (reference
+    ``continue`` at utils/depth.py:298-299). The per-sample form is what the
+    eval protocol needs: pad rows are masked on the host and rows are
+    scattered by dataset index for the cross-process seen-count reduction
+    (reference utils/reduce.py:31-80).
     """
     b, h, w, _ = gt.shape
     if pred.shape[1:3] != (h, w):
@@ -104,8 +107,19 @@ def compute_depth_metrics(
         m = jnp.stack([abs_rel, sq_rel, rmse, rmse_log, a1, a2, a3])
         return jnp.where(jnp.sum(valid_i) > 0, m, jnp.zeros(7, gt_i.dtype))
 
-    per = jax.vmap(per_sample)(gt_f, pred_f, valid)   # [B, 7]
-    return jnp.mean(per, axis=0)
+    return jax.vmap(per_sample)(gt_f, pred_f, valid)   # [B, 7]
+
+
+def compute_depth_metrics(
+    gt: jnp.ndarray,
+    pred: jnp.ndarray,
+    cfg: DepthMetricsConfig,
+    use_gt_scale: bool = True,
+) -> jnp.ndarray:
+    """Batch mean of the 7 depth metrics, [7] (reference
+    utils/depth.py:258-324 returns the batch mean)."""
+    return jnp.mean(
+        compute_depth_metrics_per_sample(gt, pred, cfg, use_gt_scale), axis=0)
 
 
 def fuse_inv_depth(inv_depth: jnp.ndarray, inv_depth_hat: jnp.ndarray,

@@ -31,7 +31,7 @@ from jax.sharding import Mesh
 
 from packnet_sfm_tpu.engine.metrics import (
     DepthMetricsConfig,
-    compute_depth_metrics,
+    compute_depth_metrics_per_sample,
     post_process_inv_depth,
 )
 from packnet_sfm_tpu.models.sfm import SfmModelDef, model_forward, model_loss
@@ -200,9 +200,13 @@ def make_eval_step(
     """Build the jitted eval step: two depth forwards (straight + flipped),
     flip post-processing, and the 4 metric modes.
 
-    Parity: reference model_wrapper.py:291-317 (``evaluate_depth``).
-    Returns step(state, batch) -> {mode: [7] metrics}, with modes
-    '', '_pp', '_gt', '_pp_gt'.
+    Parity: reference model_wrapper.py:291-317 (``evaluate_depth``) +
+    model_utils.py:97-127 (``flip_batch_input`` flips input_depth too, so
+    PackNetSAN's rgb+lidar completion eval works). Returns
+    step(state, batch) -> {mode: [B, 7] per-sample metrics}, with modes
+    '', '_pp', '_gt', '_pp_gt'. Per-sample rows (not batch means) so the
+    caller can mask pad rows and scatter by dataset index for the
+    cross-process reduction (reference utils/reduce.py:31-80).
     """
     from packnet_sfm_tpu.ops.image import flip_lr
 
@@ -212,8 +216,15 @@ def make_eval_step(
         # flip-TTA pass rides the same kernels at 2x occupancy, which is
         # nearly free on TPU where small-batch conv steps are launch/
         # bandwidth-bound (reference runs two forwards, model_wrapper.py:299).
-        rgb2 = jnp.concatenate([batch["rgb"], flip_lr(batch["rgb"])], axis=0)
-        out2, _ = model_forward(model, variables, {"rgb": rgb2}, train=False)
+        # Every image-like model input is flipped for the second half
+        # (input_depth for completion models — model_utils.py:113-116).
+        inputs = {}
+        for key in model.input_keys:
+            if key == "intrinsics" or key not in batch:
+                continue
+            inputs[key] = jnp.concatenate(
+                [batch[key], flip_lr(batch[key])], axis=0)
+        out2, _ = model_forward(model, variables, inputs, train=False)
         b = batch["rgb"].shape[0]
         inv2 = out2["inv_depths"][0].astype(jnp.float32)
         inv_depth = inv2[:b]
@@ -222,11 +233,12 @@ def make_eval_step(
         depth = 1.0 / jnp.clip(inv_depth, min=1e-6)
         depth_pp = 1.0 / jnp.clip(inv_depth_pp, min=1e-6)
         gt = batch["depth"]
+        pm = compute_depth_metrics_per_sample
         return {
-            "depth": compute_depth_metrics(gt, depth, metrics_cfg, use_gt_scale=False),
-            "depth_pp": compute_depth_metrics(gt, depth_pp, metrics_cfg, use_gt_scale=False),
-            "depth_gt": compute_depth_metrics(gt, depth, metrics_cfg, use_gt_scale=True),
-            "depth_pp_gt": compute_depth_metrics(gt, depth_pp, metrics_cfg, use_gt_scale=True),
+            "depth": pm(gt, depth, metrics_cfg, use_gt_scale=False),
+            "depth_pp": pm(gt, depth_pp, metrics_cfg, use_gt_scale=False),
+            "depth_gt": pm(gt, depth, metrics_cfg, use_gt_scale=True),
+            "depth_pp_gt": pm(gt, depth_pp, metrics_cfg, use_gt_scale=True),
             "inv_depth": inv_depth_pp,
         }
 

@@ -62,14 +62,24 @@ class Trainer:
         self.metrics_cfg = setup_metrics_config(config)
         self.seed = config.arch.seed
         self.max_epochs = config.arch.max_epochs
+        # arch.min_epochs is a floor on the epoch count (reference
+        # base_trainer.py:22-26 stores it but never consumes it — here it
+        # actually guarantees at least that many epochs run).
+        self.min_epochs = config.arch.get("min_epochs", 0)
         self.current_epoch = 0
         self.profile_dir = profile_dir
         self.compute_dtype = (
             jax.numpy.bfloat16 if config.arch.get("dtype") == "bfloat16"
             else jax.numpy.float32)
 
+        # Train-data requirements by model kind (reference BaseModel
+        # _train_requirements, base_model.py:22 + SemiSupModel.py:43,
+        # SemiSupCompletionModel.py:38, VelSupModel.py:26): which gt signals
+        # the train split must load. setup_dataset validates them.
         req = {"gt_pose": config.model.name == "VelSupModel",
-               "gt_depth": config.model.name in ("SemiSupModel",)}
+               "gt_depth": config.model.name in (
+                   "SemiSupModel", "SemiSupCompletionModel"),
+               "input_depth": config.model.name == "SemiSupCompletionModel"}
         aug = config.datasets.augmentation
         self.train_datasets = setup_dataset(
             config.datasets.train, "train", aug, self.seed, req)
@@ -119,6 +129,34 @@ class Trainer:
     def init_state(self, sample_batch: Dict):
         variables = init_model(
             self.model, jax.random.PRNGKey(self.seed), _device_batch(sample_batch))
+        # ImageNet-pretrained encoder init for '18pt'/'50pt' versions
+        # (reference resnet_encoder.py:78-97): weights come from an npz
+        # artifact (cli/convert_checkpoint.py --imagenet) named by
+        # pretrained_path or found under $PN_PRETRAINED_DIR/resnet<N>.npz.
+        from packnet_sfm_tpu.engine.checkpoint import load_pretrained_encoder
+        for net in ("depth_net", "pose_net"):
+            net_cfg = self.config.model[net]
+            version = net_cfg.get("version", "") or ""
+            if not version.endswith("pt"):
+                continue
+            if net_cfg.get("name") not in ("DepthResNet", "PoseResNet",
+                                           "RaySurfaceResNet"):
+                continue
+            depth = version[:-2] or "18"
+            path = net_cfg.get("pretrained_path", "")
+            if not path:
+                pre_dir = os.environ.get("PN_PRETRAINED_DIR", "")
+                cand = os.path.join(pre_dir, f"resnet{depth}.npz")
+                path = cand if pre_dir and os.path.exists(cand) else ""
+            if path:
+                n_images = 2 if net_cfg.get("name") == "PoseResNet" else 1
+                variables = load_pretrained_encoder(
+                    path, variables, net, num_input_images=n_images)
+            else:
+                print(f"### WARNING: {net} version {version} requests "
+                      "ImageNet weights but no pretrained artifact was found "
+                      "(set model.{net}.pretrained_path or "
+                      "$PN_PRETRAINED_DIR); training from scratch")
         # Optional per-network partial checkpoint loads
         # (reference model_wrapper.py:405-407 + utils/load.py:114).
         from packnet_sfm_tpu.engine.checkpoint import load_network
@@ -186,23 +224,74 @@ class Trainer:
 
     def validate(self, epoch: int, loaders: Optional[List] = None,
                  save_folder: Optional[str] = None) -> List[Dict]:
+        """Full eval protocol (reference utils/reduce.py:31-80
+        ``all_reduce_metrics`` + horovod_trainer.py:105-155):
+
+        - every sample is evaluated exactly once (loaders pad the last batch
+          by wrapping; pad rows are masked out here on the host);
+        - per-sample [B,7] metric rows are scattered by dataset index;
+        - rows and seen-counts are summed across processes, coverage is
+          asserted (every index seen >= 1), and the mean is taken over
+          rows / seen so duplicates never skew the result.
+        """
+        from packnet_sfm_tpu.parallel.mesh import (
+            all_reduce_host_sum,
+            host_local_rows,
+        )
+
         loaders = loaders if loaders is not None else self.val_loaders
         results = []
-        for loader in loaders:
-            sums = {m: np.zeros(7) for m in EVAL_MODES}
-            n = 0
-            for batch in loader.epoch(epoch):
+        for di, loader in enumerate(loaders):
+            n_total = len(loader.dataset)
+            rows = {m: np.zeros((n_total, 7), np.float64) for m in EVAL_MODES}
+            seen = np.zeros(n_total, np.float64)
+            has_depth = False
+            n_batches = len(loader)
+            log_interval = max(n_batches // max(
+                int(self.config.wandb.get("num_logs", 5)), 1), 1)
+            global_step = (int(jax.device_get(self.state.step))
+                           if self.logger is not None else 0)
+            for bi, batch in enumerate(loader.epoch(epoch)):
                 if "depth" not in batch:
                     continue
-                bsz = batch["rgb"].shape[0] - batch.get("pad_count", 0)
+                has_depth = True
+                idx = np.asarray(batch["idx"])
+                bsz = len(idx) - int(batch.get("pad_count", 0))
                 sharded = shard_batch(_device_batch(batch), self.mesh)
                 out = self.eval_step(self.state, sharded)
                 for m in EVAL_MODES:
-                    sums[m] += np.asarray(out[m]) * bsz
-                n += bsz
+                    r = host_local_rows(out[m])       # [B*cams, 7]
+                    if r.shape[0] != len(idx):        # multi-camera batches:
+                        k = r.shape[0] // len(idx)    # one row per sample =
+                        r = r.reshape(len(idx), k, 7).mean(axis=1)  # cam mean
+                    rows[m][idx[:bsz]] = r[:bsz]
+                seen[idx[:bsz]] += 1.0
                 if save_folder:
                     self._save_depth_outputs(save_folder, batch, out, bsz)
-            results.append({m: sums[m] / max(n, 1) for m in EVAL_MODES})
+                if (self.logger is not None and bi % log_interval == 0
+                        and bsz > 0):
+                    # interval-sampled rgb/inv-depth/gt image logging
+                    # (reference wandb_logger.py:133-172, called from
+                    # validation_step — model_wrapper.py:192-202)
+                    def first(x):
+                        x = np.asarray(x)
+                        while x.ndim > 3:
+                            x = x[0]
+                        return x
+                    self.logger.log_depth_images(
+                        first(batch["rgb"]),
+                        first(host_local_rows(out["inv_depth"])),
+                        first(batch["depth"]),
+                        prefix=f"val{di}-batch{bi}", step=global_step)
+            if not has_depth:
+                results.append({m: np.zeros(7) for m in EVAL_MODES})
+                continue
+            reduced = all_reduce_host_sum({"rows": rows, "seen": seen})
+            rows, seen = reduced["rows"], reduced["seen"]
+            assert not np.any(seen == 0), \
+                "Not all samples were seen during evaluation"
+            results.append(
+                {m: (rows[m] / seen[:, None]).mean(axis=0) for m in EVAL_MODES})
         return results
 
     def _save_depth_outputs(self, folder: str, batch, out, bsz: int):
@@ -215,8 +304,10 @@ class Trainer:
         from packnet_sfm_tpu.utils.save import write_depth
         from packnet_sfm_tpu.utils.viz import viz_inv_depth
 
+        from packnet_sfm_tpu.parallel.mesh import host_local_rows
+
         flags = self.config.save.depth
-        inv_depth = np.asarray(out["inv_depth"])
+        inv_depth = host_local_rows(out["inv_depth"])
         names = batch.get("filename") or [
             f"sample_{int(i):010d}" for i in batch.get("idx", range(bsz))]
         for i in range(bsz):
@@ -280,7 +371,8 @@ class Trainer:
             self.init_state(first)
         if self.config.arch.get("validate_first"):
             self.print_metrics(self.validate(0))
-        for epoch in range(self.current_epoch, self.max_epochs):
+        for epoch in range(self.current_epoch,
+                           max(self.max_epochs, self.min_epochs)):
             if self.profile_dir and epoch == 1:
                 jax.profiler.start_trace(self.profile_dir)
             train_metrics = self.train_epoch(epoch)

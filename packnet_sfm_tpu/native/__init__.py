@@ -64,6 +64,9 @@ def load_native() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.POINTER(ctypes.c_float)]
     lib.pn_decode_image.restype = ctypes.c_int
+    lib.pn_decode_image.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
     lib.pn_thread_count.restype = ctypes.c_int
     lib.pn_solve_pose_graph.restype = ctypes.c_double
     lib.pn_solve_pose_graph.argtypes = [
@@ -94,6 +97,47 @@ def load_image_batch(paths: Sequence[str], height: int, width: int) -> np.ndarra
     if failures:
         raise IOError(f"{failures}/{n} images failed to decode")
     return out
+
+
+_decode_tls = None
+
+
+def decode_image(path: str) -> Optional[np.ndarray]:
+    """Native single-image decode at source resolution -> [H, W, 3] u8.
+
+    Thread-safe (per-thread scratch buffer); returns None when the native
+    library is unavailable so callers can fall back to PIL. This is the
+    loader hot path: libjpeg/libpng decode without PIL's Python-object and
+    mode-conversion overhead (~3-7x per decode, docs/STATUS.md input
+    pipeline numbers).
+    """
+    global _decode_tls
+    lib = load_native()
+    if lib is None:
+        return None
+    if _decode_tls is None:
+        import threading
+        _decode_tls = threading.local()
+    buf = getattr(_decode_tls, "buf", None)
+    if buf is None:
+        buf = np.empty(32 * 1024 * 1024, np.uint8)  # fits ~3300x3300 RGB
+        _decode_tls.buf = buf
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    rc = lib.pn_decode_image(
+        path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        buf.size, ctypes.byref(w), ctypes.byref(h))
+    if rc == -2:  # buffer too small: grow once and retry
+        need_probe = 4 * buf.size
+        buf = np.empty(need_probe, np.uint8)
+        _decode_tls.buf = buf
+        rc = lib.pn_decode_image(
+            path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            buf.size, ctypes.byref(w), ctypes.byref(h))
+    if rc != 0:
+        return None
+    return (buf[: h.value * w.value * 3]
+            .reshape(h.value, w.value, 3).copy())
 
 
 def solve_pose_graph_native(

@@ -60,12 +60,44 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def all_reduce_host_sum(tree):
+    """Sum host-local numpy arrays across all processes.
+
+    The TPU-native stand-in for the reference's ``hvd.allreduce(average=False)``
+    (utils/reduce.py:31-80, utils/horovod.py:30-48): each host contributes its
+    local per-sample metric/seen-count arrays; every host gets the global sum.
+    Single-process (tests, single host) is the identity.
+    """
+    if jax.process_count() <= 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    def red(x):
+        gathered = multihost_utils.process_allgather(np.asarray(x))
+        return np.asarray(gathered).sum(axis=0)
+
+    return jax.tree_util.tree_map(red, tree)
+
+
 def shard_batch(batch, mesh: Mesh):
-    """Device-put every batch leaf sharded on its leading (batch) axis.
+    """Commit every batch leaf sharded on its leading (batch) axis.
 
     Replaces DataLoader+DistributedSampler device placement
     (reference model_wrapper.py:569-599 + base_trainer.py:8-18).
+
+    Multi-host: each process holds only its own loader shard, so the global
+    array is assembled with ``jax.make_array_from_process_local_data`` —
+    the local numpy is this host's slice of the global batch (global batch
+    size = local x process_count). Single-process is a plain device_put.
     """
+    multiproc = jax.process_count() > 1
+
+    def commit(x, sharding):
+        x = np.asarray(x)
+        if multiproc:
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
+
     sh = batch_sharding(mesh)
     if "space" in mesh.shape and mesh.shape["space"] > 1:
         img_sh = NamedSharding(mesh, P("data", "space"))
@@ -74,7 +106,22 @@ def shard_batch(batch, mesh: Mesh):
             x = np.asarray(x)
             # [B, H, W, C] images / depth maps: shard H over 'space' too.
             if x.ndim == 4 and x.shape[1] % mesh.shape["space"] == 0:
-                return jax.device_put(x, img_sh)
-            return jax.device_put(x, sh)
+                return commit(x, img_sh)
+            return commit(x, sh)
         return jax.tree_util.tree_map(put, batch)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree_util.tree_map(lambda x: commit(x, sh), batch)
+
+
+def host_local_rows(x) -> np.ndarray:
+    """This process's rows of a batch-sharded array, in local batch order.
+
+    Multi-host eval outputs are globally sharded; ``np.asarray`` would fail
+    (non-addressable shards). The host's addressable shards, sorted by their
+    global offset, reconstruct exactly the rows that came from this host's
+    loader shard — which is what the per-sample metric scatter needs.
+    """
+    if jax.process_count() <= 1 or isinstance(x, np.ndarray):
+        return np.asarray(x)
+    shards = sorted(x.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)

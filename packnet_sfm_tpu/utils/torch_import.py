@@ -192,3 +192,61 @@ def pose_resnet_from_torch(sd: Mapping[str, np.ndarray]) -> Tuple[Dict, Dict]:
     enc_p, enc_s = resnet_encoder_from_torch(sd, prefix="encoder.encoder.")
     dec_p = pose_decoder_from_torch(sd, prefix="decoder.")
     return {"encoder": enc_p, "decoder": dec_p}, {"encoder": enc_s}
+
+
+# --------------------------------------------------------------- pretrained
+
+def adapt_conv1_multiimage(kernel: np.ndarray, num_input_images: int) -> np.ndarray:
+    """Widen a flax conv1 kernel [kh, kw, 3, 64] for stacked-frame input.
+
+    Parity with reference ``resnet_multiimage_input`` (resnet_encoder.py:41-58):
+    the ImageNet conv1 weight is tiled across the input-channel axis and
+    divided by the image count so activations keep their scale.
+    """
+    if num_input_images <= 1:
+        return kernel
+    return np.concatenate([kernel] * num_input_images, axis=2) / num_input_images
+
+
+def _flatten_tree(tree: Dict, prefix: str = "") -> Dict[str, np.ndarray]:
+    flat = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            flat.update(_flatten_tree(v, key))
+        else:
+            flat[key] = np.asarray(v)
+    return flat
+
+
+def _unflatten_tree(flat: Mapping[str, np.ndarray]) -> Dict:
+    tree: Dict = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_encoder_artifact(path: str, params: Dict, stats: Dict):
+    """Write converted encoder weights as a standalone npz artifact.
+
+    The artifact is what ``pretrained_path`` configs point at — torch is only
+    needed once, offline, to produce it (cli/convert_checkpoint.py
+    ``--imagenet``)."""
+    flat = {f"params/{k}": v for k, v in _flatten_tree(params).items()}
+    flat.update({f"stats/{k}": v for k, v in _flatten_tree(stats).items()})
+    np.savez(path, **flat)
+
+
+def load_encoder_artifact(path: str) -> Tuple[Dict, Dict]:
+    """Read an encoder-weights npz artifact -> (params, batch_stats)."""
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    params = _unflatten_tree(
+        {k[len("params/"):]: v for k, v in flat.items() if k.startswith("params/")})
+    stats = _unflatten_tree(
+        {k[len("stats/"):]: v for k, v in flat.items() if k.startswith("stats/")})
+    return params, stats

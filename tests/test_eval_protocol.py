@@ -1,0 +1,144 @@
+"""Eval protocol: no dropped samples, pad masking, seen-count validation.
+
+Pins the reference protocol (utils/reduce.py:31-80 ``all_reduce_metrics`` +
+horovod_trainer.py:105-155): a dataset whose length is NOT divisible by the
+batch size must produce metrics identical to a loop-over-every-sample oracle,
+and a rigged coverage gap must trip the seen-count assertion.
+"""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from packnet_sfm_tpu.core.config import get_default_config, parse_train_config
+
+
+ODD_LENGTH = 13  # deliberately not divisible by batch_size=8
+
+
+def odd_config(tmp_path, length=ODD_LENGTH):
+    c = get_default_config()
+    c.arch.max_epochs = 1
+    c.model.name = "SelfSupModel"
+    c.model.depth_net.name = "DepthResNet"
+    c.model.depth_net.version = "18"
+    c.model.pose_net.name = "PoseNet"
+    c.model.loss.flip_lr_prob = 0.0
+    for mode in ("train", "validation", "test"):
+        d = c.datasets[mode]
+        d.dataset = ["Synthetic"]
+        d.path = [""]
+        d.split = [""]
+        d.depth_type = [""]
+        d.batch_size = 8
+        d.num_workers = 1
+        d.synthetic_length = length
+        d.synthetic_height = 32
+        d.synthetic_width = 64
+    return parse_train_config(c)
+
+
+@pytest.fixture(scope="module")
+def trainer(tmp_path_factory):
+    from packnet_sfm_tpu.engine.trainer import Trainer
+
+    cfg = odd_config(tmp_path_factory.mktemp("eval_proto"))
+    t = Trainer(cfg)
+    first = next(iter(t.train_loaders[0].epoch(0)))
+    t.init_state(first)
+    return t
+
+
+class TestNoDroppedSamples:
+    def test_val_loader_covers_every_sample(self, trainer):
+        """drop_last must be off for validation/test splits."""
+        loader = trainer.val_loaders[0]
+        seen = []
+        for batch in loader.epoch(0):
+            bsz = len(batch["idx"]) - int(batch.get("pad_count", 0))
+            seen.extend(batch["idx"][:bsz].tolist())
+            # static shapes: padded batches stay at full batch size
+            assert batch["rgb"].shape[0] == 8
+        assert sorted(seen) == list(range(ODD_LENGTH))
+
+    def test_train_loader_still_drops_last(self, trainer):
+        loader = trainer.train_loaders[0]
+        n = sum(b["rgb"].shape[0] for b in loader.epoch(0))
+        assert n == (ODD_LENGTH // 8) * 8
+
+    def test_validate_matches_per_sample_oracle(self, trainer):
+        """Epoch metrics == mean over an every-sample oracle loop (pads and
+        batching must not skew anything)."""
+        results = trainer.validate(0)
+        ds = trainer.val_datasets[0]
+
+        # Oracle: evaluate each sample individually (batch of 1, unsharded)
+        rows = {m: np.zeros((ODD_LENGTH, 7)) for m in
+                ("depth", "depth_pp", "depth_gt", "depth_pp_gt")}
+        for i in range(ODD_LENGTH):
+            s = ds[i]
+            batch = {"rgb": s["rgb"][None], "depth": s["depth"][None],
+                     "intrinsics": s["intrinsics"][None]}
+            out = trainer.eval_step(trainer.state, batch)
+            for m in rows:
+                rows[m][i] = np.asarray(out[m])[0]
+        for m in rows:
+            oracle = rows[m].mean(axis=0)
+            np.testing.assert_allclose(results[0][m], oracle, atol=2e-4,
+                                       err_msg=m)
+
+    def test_seen_count_assertion_fires_on_gap(self, trainer):
+        """A rigged epoch that skips batches must trip the coverage assert
+        (reference utils/reduce.py:67-68)."""
+        loader = trainer.val_loaders[0]
+        orig_epoch = loader.epoch
+        loader.epoch = lambda e: itertools.islice(orig_epoch(e), 1)
+        try:
+            with pytest.raises(AssertionError, match="Not all samples"):
+                trainer.validate(0)
+        finally:
+            loader.epoch = orig_epoch
+
+
+class TestSmallBurrs:
+    def test_min_epochs_floor(self, tmp_path):
+        """arch.min_epochs guarantees at least that many epochs."""
+        from packnet_sfm_tpu.engine.trainer import Trainer
+
+        cfg = odd_config(tmp_path, length=8)
+        cfg.arch.max_epochs = 0
+        cfg.arch.min_epochs = 1
+        t = Trainer(cfg)
+        t.fit()
+        assert t.current_epoch == 1
+
+    def test_semisup_w1_drops_pose_net(self):
+        """supervised_loss_weight == 1 must not build/run the pose net
+        (reference SemiSupModel.py:60-70)."""
+        from packnet_sfm_tpu.engine.factory import setup_model
+
+        c = get_default_config()
+        c.model.name = "SemiSupModel"
+        c.model.depth_net.name = "DepthResNet"
+        c.model.depth_net.version = "18"
+        c.model.pose_net.name = "PoseNet"
+        c.model.loss.supervised_loss_weight = 1.0
+        assert setup_model(c.model).pose_net is None
+        c.model.loss.supervised_loss_weight = 0.5
+        assert setup_model(c.model).pose_net is not None
+
+    def test_gt_depth_requirement_enforced(self):
+        """A supervised model with no depth_type on the train split fails
+        fast with a clear error (reference _train_requirements protocol)."""
+        from packnet_sfm_tpu.datasets.loader import setup_dataset
+
+        c = get_default_config()
+        d = c.datasets.train
+        d.dataset = ["KITTI"]
+        d.path = ["/nonexistent"]
+        d.split = ["x.txt"]
+        d.depth_type = [""]
+        with pytest.raises(ValueError, match="requires gt depth"):
+            setup_dataset(d, "train", c.datasets.augmentation, 42,
+                          {"gt_depth": True})

@@ -81,3 +81,39 @@ class TestNativePoseGraph:
         # f32-jacfwd vs f64-central-difference solvers converge along
         # slightly different paths in 10 iterations
         np.testing.assert_allclose(float(c_jax), c_nat, rtol=0.05)
+
+
+class TestSingleDecode:
+    def test_decode_image_parity_vs_pil(self, image_files):
+        """datasets load_image's native fast path must decode identically to
+        the PIL fallback (u8-exact for png, near for jpeg)."""
+        from packnet_sfm_tpu.native import decode_image
+
+        for p, _ in image_files:
+            got = decode_image(p)
+            assert got is not None and got.dtype == np.uint8
+            ref = np.asarray(Image.open(p).convert("RGB"))
+            assert got.shape == ref.shape
+            tol = 0 if p.endswith("png") else 6
+            assert np.abs(got.astype(int) - ref.astype(int)).max() <= tol, p
+
+    def test_load_image_uses_native(self, image_files):
+        from packnet_sfm_tpu.datasets.kitti import load_image
+
+        p, _ = image_files[0]
+        out = load_image(p)
+        ref = np.asarray(Image.open(p).convert("RGB")).astype(np.float32) / 255
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+
+    def test_decode_image_grayscale_png(self, tmp_path):
+        from packnet_sfm_tpu.native import decode_image
+
+        arr = (np.random.default_rng(1).uniform(size=(16, 24)) * 255
+               ).astype(np.uint8)
+        p = str(tmp_path / "gray.png")
+        Image.fromarray(arr, mode="L").save(p)
+        got = decode_image(p)
+        if got is None:
+            pytest.skip("native lib unavailable")
+        ref = np.asarray(Image.open(p).convert("RGB"))
+        np.testing.assert_array_equal(got, ref)
