@@ -17,6 +17,55 @@ import jax.numpy as jnp
 _conv_init = nn.initializers.xavier_uniform()
 
 
+class FastGroupNorm(nn.Module):
+    """GroupNorm without the grouped reshape (a TPU lane-padding trap).
+
+    flax's nn.GroupNorm materializes [..., G, C/G]; with C/G = 4..32 that
+    minor dim lane-pads up to 32x, and the GN chains were the largest
+    single cost of the PackNet train step (measured: a 2-block residual
+    stack at [8,96,320,64] spent ~12 ms, ~20x its bandwidth bound; see
+    docs/STATUS.md round-2 perf notes). This computes identical statistics
+    from [B, C] f32 moment reductions (the group fold happens on the tiny
+    [B, C] tensor, never on the activation), then applies one per-channel
+    affine that XLA fuses into the neighboring elementwise ops.
+
+    Params ('scale'/'bias', shape [C]) match nn.GroupNorm, so checkpoints
+    and the torch importer are unchanged.
+    """
+
+    num_groups: int = 16
+    epsilon: float = 1e-5
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        g = self.num_groups
+        assert c % g == 0, (c, g)
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        red = tuple(range(1, x.ndim - 1))
+        xf = x.astype(jnp.float32)
+        s1 = jnp.sum(xf, axis=red)                    # [B, C]
+        s2 = jnp.sum(xf * xf, axis=red)
+        n_spatial = 1
+        for ax in red:
+            n_spatial *= x.shape[ax]
+        n = n_spatial * (c // g)
+        gs1 = s1.reshape(-1, g, c // g).sum(-1)       # [B, G]
+        gs2 = s2.reshape(-1, g, c // g).sum(-1)
+        mean = gs1 / n
+        var = jnp.maximum(gs2 / n - mean * mean, 0.0)
+        rstd = jax.lax.rsqrt(var + self.epsilon)
+        mean_c = jnp.repeat(mean, c // g, axis=1)     # [B, C]
+        rstd_c = jnp.repeat(rstd, c // g, axis=1)
+        sc = scale.astype(jnp.float32)[None] * rstd_c
+        bi = bias.astype(jnp.float32)[None] - mean_c * sc
+        shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (c,)
+        out = xf * sc.reshape(shape) + bi.reshape(shape)
+        return out.astype(self.dtype or x.dtype)
+
+
 class Conv2dBlock(nn.Module):
     """Conv(k, stride, zero-pad k//2) + GroupNorm(16) + ELU (layers01.py:10-37)."""
 
@@ -36,7 +85,8 @@ class Conv2dBlock(nn.Module):
             kernel_init=_conv_init,
             dtype=self.dtype,
         )(x)
-        x = nn.GroupNorm(num_groups=16, epsilon=1e-5, dtype=self.dtype)(x)
+        x = FastGroupNorm(num_groups=16, epsilon=1e-5, dtype=self.dtype,
+                          name="GroupNorm_0")(x)
         return jax.nn.elu(x)
 
 
@@ -59,7 +109,8 @@ class ResidualConv(nn.Module):
         )(x)
         if self.dropout:
             shortcut = nn.Dropout(rate=self.dropout, deterministic=not train)(shortcut)
-        out = nn.GroupNorm(num_groups=16, epsilon=1e-5, dtype=self.dtype)(out + shortcut)
+        out = FastGroupNorm(num_groups=16, epsilon=1e-5, dtype=self.dtype,
+                            name="GroupNorm_0")(out + shortcut)
         return jax.nn.elu(out)
 
 

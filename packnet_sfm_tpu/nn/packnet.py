@@ -90,8 +90,9 @@ class _FusedPackConvBlock(nn.Module):
         w2, b2 = _Conv2dParams(self.features, self.kernel_size,
                                self.d * cp, name="Conv_0")()
         y = fused_pack_conv(x, w3, b3, w2, b2, self.dtype or x.dtype)
-        y = nn.GroupNorm(num_groups=16, epsilon=1e-5, dtype=self.dtype,
-                         name="GroupNorm_0")(y)
+        from packnet_sfm_tpu.nn.layers import FastGroupNorm
+        y = FastGroupNorm(num_groups=16, epsilon=1e-5, dtype=self.dtype,
+                          name="GroupNorm_0")(y)
         return jax.nn.elu(y)
 
 

@@ -25,7 +25,9 @@ class _ConvGN(nn.Module):
         x = nn.Conv(self.features, (self.kernel_size,) * 2, strides=(2, 2),
                     padding=[(p, p), (p, p)], kernel_init=_conv_init,
                     dtype=self.dtype)(x)
-        x = nn.GroupNorm(num_groups=16, epsilon=1e-5, dtype=self.dtype)(x)
+        from packnet_sfm_tpu.nn.layers import FastGroupNorm
+        x = FastGroupNorm(num_groups=16, epsilon=1e-5, dtype=self.dtype,
+                          name="GroupNorm_0")(x)
         return jax.nn.relu(x)
 
 

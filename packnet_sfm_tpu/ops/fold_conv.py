@@ -31,10 +31,16 @@ tensors, so training and checkpoint formats are unchanged.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+# Benchmark-only escape hatch: PN_FOLD_BORDERS=0 skips the exact border-strip
+# recompute (leaves a k//2-wide approximate ring). Used to attribute step
+# time; never set in training/eval runs (test_fold_fusion pins exactness).
+_EXACT_BORDERS = os.environ.get("PN_FOLD_BORDERS", "1") != "0"
 
 
 def channel_conv3d(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
@@ -112,48 +118,177 @@ def _merged_kernel(w3: jnp.ndarray, w2: jnp.ndarray, cp: int):
     return kk
 
 
+def _merged_border_kernel(w3_slice: jnp.ndarray, w2_sel: jnp.ndarray, cp: int):
+    """1D merged kernel for one border ring.
+
+    w3_slice: [3 (kz), 3 (kt), d] — the w3 plane whose fixed tap produced the
+    ring (kh=2 for the top ring, etc.); kt is the in-ring spatial tap.
+    w2_sel: [n, k2, d*Cp, Cout] — the w2 row (or column) that hits the ring
+    for each of the n border output rows. Returns [n, k2+2, Cp, Cout].
+    Same channel-shift algebra as ``_merged_kernel``, one dimension down.
+    """
+    n, k2 = w2_sel.shape[:2]
+    d = w3_slice.shape[-1]
+    cout = w2_sel.shape[-1]
+    w2r = w2_sel.astype(jnp.float32).reshape(n, k2, d, cp, cout)
+    t = jnp.einsum("ztj,nbjpo->nztbpo", w3_slice.astype(jnp.float32), w2r)
+    kk = jnp.zeros((n, k2 + 2, cp, cout), jnp.float32)
+    for z in range(3):
+        tz = t[:, z]                          # [n, 3(kt), k2, cp, cout]
+        if z == 0:
+            tz = jnp.concatenate(
+                [tz[..., 1:, :], jnp.zeros_like(tz[..., :1, :])], axis=-2)
+        elif z == 2:
+            tz = jnp.concatenate(
+                [jnp.zeros_like(tz[..., :1, :]), tz[..., :-1, :]], axis=-2)
+        for kt in range(3):
+            kk = kk.at[:, kt:kt + k2].add(tz[:, kt])
+    return kk
+
+
+def _ring_vec(x_px: jnp.ndarray, w3_col: jnp.ndarray, cp: int) -> jnp.ndarray:
+    """Corner ring value z_ext at a diagonal-outside position.
+
+    x_px: [B, Cp] (the corner pixel); w3_col: [3 (kz), d] (the w3 taps with
+    both spatial offsets fixed). Returns [B, d*Cp] folded (j-major).
+    """
+    xp = jnp.pad(x_px.astype(jnp.float32), ((0, 0), (1, 1)))
+    shifts = jnp.stack([xp[:, kz:kz + cp] for kz in range(3)])   # [3, B, Cp]
+    return jnp.einsum("zj,zbc->bjc", w3_col.astype(jnp.float32),
+                      shifts).reshape(x_px.shape[0], -1)
+
+
 def fused_pack_conv(x: jnp.ndarray, w3: jnp.ndarray, b3: jnp.ndarray,
                     w2: jnp.ndarray, b2: jnp.ndarray,
                     dtype: Optional[jnp.dtype] = None) -> jnp.ndarray:
-    """Exact pack conv as ONE conv over Cp channels + exact border strips.
+    """Exact pack conv as ONE conv over Cp channels + algebraic border fix.
 
     x: [B, H, W, Cp]; w3: [3,3,3,1,d]; w2: [k,k,d*Cp,Cout]. Output equals
     ``pack_conv_two_step`` at every pixel (up to dtype rounding).
+
+    Border treatment: the merged conv differs from the two-step composition
+    only through (a) the 1-pixel ring of the intermediate z that the two-step
+    path zero-pads but the merged conv evaluates from padded x, and (b) the
+    3D-conv bias, which the two-step path applies only inside the image.
+    Both errors are *subtracted in closed form*: the ring corrections are
+    four 1D convs of a single edge row/column of x with tiny merged kernels
+    (Cin = Cp, not d*Cp), corners are rank-1 einsums, and the bias error is
+    a per-border-offset constant. This replaced a two-step strip recompute
+    that cost ~30% of the whole train step (40 awkward thin-slab convs per
+    network fwd; docs/STATUS.md round-2 perf notes).
     """
     b, h, w, cp = x.shape
     k2 = w2.shape[0]
     m = k2 // 2
+    d = w3.shape[-1]
+    cout = w2.shape[-1]
     dtype = dtype or x.dtype
     if h < 2 * m + 2 or w < 2 * m + 2:
-        # image too small for disjoint border strips; two-step path is cheap
+        # image too small for disjoint border regions; two-step is cheap
         return pack_conv_two_step(x, w3, b3, w2, b2, dtype)
 
     kk = _merged_kernel(w3, w2, cp)
     # 3D-conv bias reaches every interior output through all k2*k2 taps
-    b_eff = b2.astype(jnp.float32) + jnp.einsum(
-        "abjpo,j->o",
-        w2.astype(jnp.float32).reshape(k2, k2, w3.shape[-1], cp, -1),
-        b3.astype(jnp.float32))
+    w2r = w2.astype(jnp.float32).reshape(k2, k2, d, cp, cout)
+    b3f = b3.astype(jnp.float32)
+    b_eff = b2.astype(jnp.float32) + jnp.einsum("abjpo,j->o", w2r, b3f)
     y = jax.lax.conv_general_dilated(
         x.astype(dtype), kk.astype(dtype), (1, 1),
         [(m + 1, m + 1), (m + 1, m + 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     y = y + b_eff.astype(dtype)
+    if not _EXACT_BORDERS:
+        return y
 
-    # Exact border strips (width m) through the two-step path on thin slabs.
-    # Slab accounting: intermediate row i needs x rows i-1..i+1; output row p
-    # needs intermediate rows p-m..p+m with the out-of-image ones zero.
-    s = 2 * m + 1
-    zt = channel_conv3d(x[:, :s], w3, b3, dtype)[:, :2 * m]
-    yt = conv2d_same(zt, w2, b2, dtype)[:, :m]
-    zb = channel_conv3d(x[:, h - s:], w3, b3, dtype)[:, 1:]
-    yb = conv2d_same(zb, w2, b2, dtype)[:, -m:]
-    zl = channel_conv3d(x[:, :, :s], w3, b3, dtype)[:, :, :2 * m]
-    yl = conv2d_same(zl, w2, b2, dtype)[:, :, :m]
-    zr = channel_conv3d(x[:, :, w - s:], w3, b3, dtype)[:, :, 1:]
-    yr = conv2d_same(zr, w2, b2, dtype)[:, :, -m:]
-    y = y.at[:, :m].set(yt)
-    y = y.at[:, -m:].set(yb)
-    y = y.at[:, :, :m].set(yl)
-    y = y.at[:, :, -m:].set(yr)
+    w3f = w3[:, :, :, 0, :]                                    # [kz, kh, kx, d]
+    w2f = w2.astype(jnp.float32)
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    def conv_row(row, kern):
+        """row [B,1,W,Cp] (or [B,H,1,Cp]); kern [n,k2+2,Cp,Cout] -> Δ."""
+        n = kern.shape[0]
+        horizontal = row.shape[1] == 1
+        k1 = kern.transpose(1, 2, 0, 3).reshape(k2 + 2, cp, n * cout)
+        if horizontal:
+            k1 = k1[None]                                      # [1,k2+2,cp,n*cout]
+            pad = [(0, 0), (m + 1, m + 1)]
+        else:
+            k1 = k1[:, None]                                   # [k2+2,1,cp,n*cout]
+            pad = [(m + 1, m + 1), (0, 0)]
+        out = jax.lax.conv_general_dilated(
+            row.astype(dtype), k1.astype(dtype), (1, 1), pad,
+            dimension_numbers=dn)
+        if horizontal:                    # [B,1,W,n*cout] -> [B,n,W,cout]
+            return out.reshape(b, w, n, cout).transpose(0, 2, 1, 3)
+        return out.reshape(b, h, n, cout)  # [B,H,n,cout] (n = col offset)
+
+    i_near = [m - 1 - p for p in range(m)]     # ring hit for rows/cols 0..m-1
+    i_far = [m + 1 + t for t in range(m)]      # ... for rows/cols H-1-t/W-1-t
+
+    # Ring corrections: top/bottom rings (from x row 0 / H-1 via the w3
+    # kh=2 / kh=0 planes), left/right (x col 0 / W-1 via kx=2 / kx=0).
+    k_top = _merged_border_kernel(w3f[:, 2], w2f[jnp.array(i_near)], cp)
+    k_bot = _merged_border_kernel(w3f[:, 0], w2f[jnp.array(i_far)], cp)
+    k_left = _merged_border_kernel(
+        w3f[:, :, 2], w2f[:, jnp.array(i_near)].transpose(1, 0, 2, 3), cp)
+    k_right = _merged_border_kernel(
+        w3f[:, :, 0], w2f[:, jnp.array(i_far)].transpose(1, 0, 2, 3), cp)
+
+    d_top = conv_row(x[:, :1], k_top)                          # [B,m,W,cout]
+    d_bot = conv_row(x[:, -1:], k_bot)[:, ::-1]                # t -> row H-1-t
+    d_left = conv_row(x[:, :, :1], k_left)                     # [B,H,m,cout]
+    d_right = conv_row(x[:, :, -1:], k_right)[:, :, ::-1]
+
+    y = y.at[:, :m].add(-d_top)
+    y = y.at[:, -m:].add(-d_bot)
+    y = y.at[:, :, :m].add(-d_left)
+    y = y.at[:, :, -m:].add(-d_right)
+
+    # Corner ring values were subtracted by both their row and their column
+    # correction — add each back once. Each is a single (a, b) tap pair.
+    corners = (
+        ((slice(None, m), slice(None, m)), x[:, 0, 0], w3f[:, 2, 2],
+         i_near, i_near, False, False),
+        ((slice(None, m), slice(-m, None)), x[:, 0, -1], w3f[:, 2, 0],
+         i_near, i_far, False, True),
+        ((slice(-m, None), slice(None, m)), x[:, -1, 0], w3f[:, 0, 2],
+         i_far, i_near, True, False),
+        ((slice(-m, None), slice(-m, None)), x[:, -1, -1], w3f[:, 0, 0],
+         i_far, i_far, True, True),
+    )
+    for (rs, cs), px, w3c, rows, cols, flip_r, flip_c in corners:
+        vec = _ring_vec(px, w3c, cp)                           # [B, d*Cp]
+        sel = w2f[jnp.array(rows)][:, jnp.array(cols)]         # [m,m,dCp,cout]
+        delta = jnp.einsum("pqco,bc->bpqo", sel, vec)
+        if flip_r:
+            delta = delta[:, ::-1]
+        if flip_c:
+            delta = delta[:, :, ::-1]
+        y = y.at[:, rs, cs].add(delta.astype(dtype))
+
+    # Bias correction: b_eff assumed the 3D-conv bias at every z tap, but the
+    # two-step path has bias only inside the image. Subtract the taps whose z
+    # position is outside (inclusion-exclusion for the corners).
+    w2b = jnp.einsum("abjpo,j->abo", w2r, b3f)                 # [k2,k2,cout]
+    rowsum, colsum = w2b.sum(1), w2b.sum(0)
+    bias_top = jnp.stack([rowsum[: m - p].sum(0) for p in range(m)])
+    bias_bot = jnp.stack([rowsum[m + 1 + t:].sum(0) for t in range(m)])
+    bias_left = jnp.stack([colsum[: m - q].sum(0) for q in range(m)])
+    bias_right = jnp.stack([colsum[m + 1 + u:].sum(0) for u in range(m)])
+    y = y.at[:, :m].add(-bias_top[None, :, None].astype(dtype))
+    y = y.at[:, -m:].add(-bias_bot[None, ::-1, None].astype(dtype))
+    y = y.at[:, :, :m].add(-bias_left[None, None].astype(dtype))
+    y = y.at[:, :, -m:].add(-bias_right[None, None, ::-1].astype(dtype))
+    bc_tl = jnp.stack([jnp.stack([w2b[: m - p, : m - q].sum((0, 1))
+                                  for q in range(m)]) for p in range(m)])
+    bc_tr = jnp.stack([jnp.stack([w2b[: m - p, m + 1 + u:].sum((0, 1))
+                                  for u in range(m)]) for p in range(m)])
+    bc_bl = jnp.stack([jnp.stack([w2b[m + 1 + t:, : m - q].sum((0, 1))
+                                  for q in range(m)]) for t in range(m)])
+    bc_br = jnp.stack([jnp.stack([w2b[m + 1 + t:, m + 1 + u:].sum((0, 1))
+                                  for u in range(m)]) for t in range(m)])
+    y = y.at[:, :m, :m].add(bc_tl[None].astype(dtype))
+    y = y.at[:, :m, -m:].add(bc_tr[None, :, ::-1].astype(dtype))
+    y = y.at[:, -m:, :m].add(bc_bl[None, ::-1].astype(dtype))
+    y = y.at[:, -m:, -m:].add(bc_br[None, ::-1, ::-1].astype(dtype))
     return y
