@@ -135,6 +135,23 @@ class KITTIDataset:
 
     # ---------------------------------------------------------------- files
 
+    def sample_shape(self, idx: int):
+        """(H, W) of this sample's native image/gt depth — read from the
+        image header only (no decode). Lets the eval DataLoader bucket
+        mixed-size sequences (KITTI eigen_test mixes 1242/1241/1226 widths)
+        into homogeneous batches so eval batch>1 works at native gt
+        resolution."""
+        cache = getattr(self, "_shape_cache", None)
+        if cache is None:
+            cache = self._shape_cache = {}
+        if idx not in cache:
+            from PIL import Image
+
+            with Image.open(self.paths[idx]) as im:
+                w, h = im.size  # lazy: header only
+            cache[idx] = (h, w)
+        return cache[idx]
+
     @staticmethod
     def _neighbor_file(idx: int, file: str) -> str:
         base, ext = os.path.splitext(os.path.basename(file))

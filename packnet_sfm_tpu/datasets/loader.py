@@ -68,37 +68,78 @@ class DataLoader:
         self.process_count = process_count
 
     def __len__(self) -> int:
-        n = len(self.dataset) // self.process_count
-        if self.drop_last:
-            return n // self.batch_size
-        return -(-n // self.batch_size)
+        return len(self._batch_plan(0))
 
-    def epoch(self, epoch: int = 0) -> Iterator[dict]:
-        """Iterate batches for ``epoch`` (order is a pure function of
-        (seed, epoch))."""
+    def _shard(self, order: np.ndarray) -> np.ndarray:
+        """This process's stride-shard of ``order``.
+
+        The order is first padded (by wrapping, exactly like torch's
+        DistributedSampler) to a multiple of process_count so every process
+        gets the SAME shard length and therefore the SAME batch count.
+        Unequal shard lengths would make one process issue an extra SPMD
+        collective step and deadlock every host (the jitted steps are
+        collective over the global mesh). Each wrapped duplicate lands on a
+        *different* process (pad < process_count), so eval's cross-process
+        rows-sum/seen-count reduction averages them out exactly.
+        """
+        n = len(order)
+        if self.process_count > 1 and n % self.process_count:
+            total = -(-n // self.process_count) * self.process_count
+            order = np.concatenate([order, order[: total - n]])
+        return order[self.process_index::self.process_count]
+
+    def _batch_plan(self, epoch: int) -> list:
+        """List of (idxs [batch_size], pad_count) for this process.
+
+        Eval loaders on datasets exposing ``sample_shape(idx)`` (e.g. KITTI
+        native-resolution gt depth: eigen_test mixes 1242/1241/1226-wide
+        maps) are bucketed by shape so batches stay homogeneous — batch>1
+        eval on mixed-size data with ONE compile per distinct shape and
+        metrics identical to the B=1 oracle (no resampling/padding of gt).
+        """
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
             order = np.random.default_rng(
                 np.random.SeedSequence([self.seed, epoch])).permutation(n)
-        # Host shard: same stride split as reference DistributedSampler usage.
-        order = order[self.process_index::self.process_count]
-        nb = len(order) // self.batch_size if self.drop_last \
-            else -(-len(order) // self.batch_size)
+        sample_shape = getattr(self.dataset, "sample_shape", None)
+        if sample_shape is not None and not self.drop_last:
+            groups: dict = {}
+            for i in order:
+                groups.setdefault(tuple(sample_shape(int(i))), []).append(i)
+            # deterministic bucket order shared by all processes
+            buckets = [np.asarray(groups[k]) for k in sorted(groups)]
+        else:
+            buckets = [order]
+        plan = []
+        for bucket in buckets:
+            shard = self._shard(bucket)
+            nb = len(shard) // self.batch_size if self.drop_last \
+                else -(-len(shard) // self.batch_size)
+            for bi in range(nb):
+                idxs = shard[bi * self.batch_size:(bi + 1) * self.batch_size]
+                pad = self.batch_size - len(idxs)
+                if pad:
+                    # pad by wrapping so shapes stay static; 'pad_count'
+                    # marks them (np.resize wraps cyclically, so shards
+                    # smaller than one batch still fill up)
+                    idxs = np.concatenate([idxs, np.resize(shard, pad)])
+                plan.append((idxs, pad))
+        return plan
+
+    def epoch(self, epoch: int = 0) -> Iterator[dict]:
+        """Iterate batches for ``epoch`` (order is a pure function of
+        (seed, epoch))."""
+        plan = self._batch_plan(epoch)
 
         def load_batch(bi: int) -> dict:
-            idxs = order[bi * self.batch_size:(bi + 1) * self.batch_size]
-            if not self.drop_last and len(idxs) < self.batch_size and len(idxs) > 0:
-                # pad by wrapping so shapes stay static; 'pad_count' marks them
-                # (np.resize wraps cyclically, so shards smaller than one
-                # batch still fill up)
-                pad = self.batch_size - len(idxs)
-                idxs = np.concatenate([idxs, np.resize(order, pad)])
-                batch = collate([self.dataset[int(i)] for i in idxs])
+            idxs, pad = plan[bi]
+            batch = collate([self.dataset[int(i)] for i in idxs])
+            if pad:
                 batch["pad_count"] = pad
-                return batch
-            return collate([self.dataset[int(i)] for i in idxs])
+            return batch
 
+        nb = len(plan)
         if self.num_workers <= 1:
             for bi in range(nb):
                 yield load_batch(bi)

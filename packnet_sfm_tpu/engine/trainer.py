@@ -116,6 +116,21 @@ class Trainer:
             self.logger.log_config(config.to_dict())
 
         ckpt_dir = config.checkpoint.get("filepath") or ""
+        # Run-name feedback: adopt the wandb-assigned run name into the
+        # config and the checkpoint path (reference prep_logger_and_checkpoint,
+        # utils/config.py:107-134, which rewrites the run-name component of
+        # the path; our filepath is a plain directory, so the run name
+        # becomes a subdirectory of it).
+        if self.logger is not None and self.logger.run_name:
+            run_name = self.logger.run_name
+            config.name = run_name
+            config.wandb.name = run_name
+            if self.logger.run_url:
+                config.wandb.url = self.logger.run_url
+            if ckpt_dir:
+                ckpt_dir = os.path.join(ckpt_dir, run_name)
+                config.checkpoint.filepath = ckpt_dir
+            self.logger.log_config(config.to_dict())
         self.checkpoint = ModelCheckpoint(
             ckpt_dir, monitor=config.checkpoint.monitor,
             save_top_k=config.checkpoint.save_top_k,
@@ -155,7 +170,7 @@ class Trainer:
             else:
                 print(f"### WARNING: {net} version {version} requests "
                       "ImageNet weights but no pretrained artifact was found "
-                      "(set model.{net}.pretrained_path or "
+                      f"(set model.{net}.pretrained_path or "
                       "$PN_PRETRAINED_DIR); training from scratch")
         # Optional per-network partial checkpoint loads
         # (reference model_wrapper.py:405-407 + utils/load.py:114).
@@ -284,8 +299,12 @@ class Trainer:
                         first(batch["depth"]),
                         prefix=f"val{di}-batch{bi}", step=global_step)
             if not has_depth:
-                results.append({m: np.zeros(7) for m in EVAL_MODES})
-                continue
+                # A silent all-zero metric table would mask a misconfigured
+                # split (e.g. wrong depth_type) — fail loudly instead.
+                raise ValueError(
+                    f"Eval dataset {di} yielded no ground-truth depth: check "
+                    "the split's depth_type configuration (every batch was "
+                    "missing the 'depth' key)")
             reduced = all_reduce_host_sum({"rows": rows, "seen": seen})
             rows, seen = reduced["rows"], reduced["seen"]
             assert not np.any(seen == 0), \

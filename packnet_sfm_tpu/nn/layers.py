@@ -46,16 +46,34 @@ class FastGroupNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,))
         red = tuple(range(1, x.ndim - 1))
         xf = x.astype(jnp.float32)
-        s1 = jnp.sum(xf, axis=red)                    # [B, C]
-        s2 = jnp.sum(xf * xf, axis=red)
+        # One-pass E[x²]−E[x]² cancels catastrophically once |mean| >> std
+        # (f32 loses the variance entirely around mean/std ≈ 1e3). Center on
+        # a cheap per-group shift first — the mean of the middle spatial row
+        # (one contiguous 1/H-sized read) — then the one-pass formula runs on
+        # centered values. The residual |shift−mean| is bounded by the data
+        # range, so the error amplification (1 + Δ²/σ²)·eps stays harmless
+        # for any input whose row means are within a few σ·√N of the group
+        # mean (test_layers.py pins adversarial cases).
+        if x.ndim >= 3 and x.shape[1] > 1:
+            mid = x.shape[1] // 2
+            shift = jnp.mean(
+                xf[:, mid].reshape(x.shape[0], -1, g, c // g), axis=(1, 3))
+        else:
+            shift = jnp.zeros((x.shape[0], g), jnp.float32)
+        sh_full = jnp.repeat(shift, c // g, axis=1).reshape(
+            (x.shape[0],) + (1,) * (x.ndim - 2) + (c,))
+        xc = xf - sh_full
+        s1 = jnp.sum(xc, axis=red)                    # [B, C]
+        s2 = jnp.sum(xc * xc, axis=red)
         n_spatial = 1
         for ax in red:
             n_spatial *= x.shape[ax]
         n = n_spatial * (c // g)
         gs1 = s1.reshape(-1, g, c // g).sum(-1)       # [B, G]
         gs2 = s2.reshape(-1, g, c // g).sum(-1)
-        mean = gs1 / n
-        var = jnp.maximum(gs2 / n - mean * mean, 0.0)
+        dmean = gs1 / n
+        mean = shift + dmean
+        var = jnp.maximum(gs2 / n - dmean * dmean, 0.0)
         rstd = jax.lax.rsqrt(var + self.epsilon)
         mean_c = jnp.repeat(mean, c // g, axis=1)     # [B, C]
         rstd_c = jnp.repeat(rstd, c // g, axis=1)

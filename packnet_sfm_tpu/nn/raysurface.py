@@ -47,7 +47,9 @@ class RaySurfaceResNet(nn.Module):
 
     @nn.compact
     def __call__(self, rgb: jnp.ndarray, *, train: bool = True) -> dict:
-        num_layers = int(self.version[:2])
+        # version is "<depth>" or "<depth>pt" (reference DepthResNet.py:30
+        # parses [:2]; we accept 3-digit 101/152 as well)
+        num_layers = int(self.version.rstrip('pt') or '18')
         feats = ResNetEncoder(num_layers=num_layers, name="encoder")(rgb, train=train)
         disps = DepthDecoder(name="decoder")(feats)
         rays = RaySurfaceDecoder(name="ray_decoder")(feats)

@@ -1,7 +1,7 @@
 """ResNet encoder (torchvision-compatible topology), flax.linen, NHWC.
 
 Capability parity with reference networks/layers/resnet/resnet_encoder.py
-(monodepth2-style): resnet18/34/50 backbones, multi-image input variant for
+(monodepth2-style): resnet18/34/50/101/152 backbones, multi-image input variant for
 pose estimation, fixed input normalization (x - 0.45) / 0.225, and the
 5-feature pyramid [relu1, layer1, layer2, layer3, layer4].
 
@@ -84,6 +84,8 @@ _CONFIGS = {
     18: (BasicBlock, (2, 2, 2, 2), 1),
     34: (BasicBlock, (3, 4, 6, 3), 1),
     50: (Bottleneck, (3, 4, 6, 3), 4),
+    101: (Bottleneck, (3, 4, 23, 3), 4),
+    152: (Bottleneck, (3, 8, 36, 3), 4),
 }
 
 

@@ -122,6 +122,20 @@ def host_local_rows(x) -> np.ndarray:
     """
     if jax.process_count() <= 1 or isinstance(x, np.ndarray):
         return np.asarray(x)
-    shards = sorted(x.addressable_shards,
-                    key=lambda s: s.index[0].start or 0)
-    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    shards = x.addressable_shards
+    # Arrays on a 2D (data x space) mesh have several shards per batch row
+    # block (e.g. inv_depth [B,H,W,1] with H on 'space'): reassemble the
+    # non-leading axes inside each axis-0 block instead of blindly
+    # concatenating on axis 0 (which would duplicate/mangle rows).
+    starts = sorted({s.index[0].start or 0 for s in shards})
+    row_of = {st: i for i, st in enumerate(starts)}
+    blocks: list = [None] * len(starts)
+    for s in shards:
+        st = s.index[0].start or 0
+        data = np.asarray(s.data)
+        if blocks[row_of[st]] is None:
+            shape = (data.shape[0],) + tuple(x.shape[1:])
+            blocks[row_of[st]] = np.empty(shape, data.dtype)
+        dest = tuple(slice(ix.start, ix.stop) for ix in s.index[1:])
+        blocks[row_of[st]][(slice(None),) + dest] = data
+    return np.concatenate(blocks, axis=0)

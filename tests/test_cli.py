@@ -8,6 +8,8 @@ import pytest
 from PIL import Image
 
 
+pytestmark = pytest.mark.slow  # full fit/CLI runs: quick tier skips (-m "not slow")
+
 @pytest.fixture(scope="module")
 def trained_ckpt(tmp_path_factory):
     """Train 1 tiny synthetic epoch via the train CLI entry and return the

@@ -11,6 +11,7 @@ import os
 
 import jax
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -23,5 +24,6 @@ def test_entry_forward_jits():
     assert out.shape[0] == 1 and np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     ge.dryrun_multichip(8)

@@ -10,6 +10,8 @@ from packnet_sfm_tpu.datasets.loader import DataLoader
 from packnet_sfm_tpu.datasets.synthetic import SyntheticSfmDataset
 
 
+pytestmark = pytest.mark.slow  # full fit/CLI runs: quick tier skips (-m "not slow")
+
 def synthetic_config(tmp_path, max_epochs=2):
     c = get_default_config()
     c.arch.max_epochs = max_epochs
