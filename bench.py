@@ -7,8 +7,9 @@ numbers (BASELINE.md), so vs_baseline is the ratio against a fixed nominal
 
 Robustness: the pooled/tunneled chip shows contention and occasional remote-
 compile failures, so the run retries once on infrastructure errors and
-reports the median of 3 timing windows. Batch defaults to 4/chip
-(PN_BENCH_BATCH overrides).
+reports the median of 3 timing windows. Batch defaults to 16/chip — the
+round-3 throughput peak (b8 34.8 / b16 39.6 / b24 36.1 / b32 35.7
+imgs/s/chip, no remat; PN_BENCH_BATCH overrides).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -32,7 +33,7 @@ import numpy as np
 from __graft_entry__ import _flagship_model, _synthetic_batch
 
 NOMINAL_REFERENCE_IMGS_PER_SEC = 10.0
-BATCH = int(os.environ.get("PN_BENCH_BATCH", "8"))
+BATCH = int(os.environ.get("PN_BENCH_BATCH", "16"))
 H, W = 192, 640
 WARMUP, ITERS, WINDOWS = 2, 5, 3
 
@@ -46,8 +47,9 @@ def run_once() -> float:
 
     cfg, _ = _flagship_model()
     cfg.arch.dtype = "bfloat16"
-    # Remat trades ~19% step time for ~2x activation HBM; needed for
-    # batch >= 16 per chip (batch 16 without remat: 35 GB > 15.75 GB HBM).
+    # Remat trades ~13% step time for ~2x activation HBM (b16: 39.6 -> 34.5
+    # imgs/s). Since the round-3 fold/unpack rewrites, batch 16 fits WITHOUT
+    # remat; keep it for HR or batch 32+.
     if os.environ.get("PN_BENCH_REMAT", "0") == "1":
         cfg.model.depth_net.remat = True
     model = setup_model(cfg.model, dtype=jax.numpy.bfloat16)

@@ -42,11 +42,30 @@ class ModelCheckpoint:
         self._saved: list[tuple[float, str]] = []
         self._ckpt = ocp.StandardCheckpointer()
 
+    def _save_code_tarball(self):
+        """One-time source snapshot next to the checkpoints (reference
+        model_checkpoint.py:78-92 ``save_code``: tars the repo so every
+        synced run carries the exact code that produced it)."""
+        tar_path = os.path.join(self.dirpath, "code.tar.gz")
+        if os.path.exists(tar_path):
+            return
+        import tarfile
+
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        try:
+            with tarfile.open(tar_path, "w:gz") as tar:
+                tar.add(pkg_root, arcname=os.path.basename(pkg_root),
+                        filter=lambda ti: None if "__pycache__" in ti.name
+                        else ti)
+        except OSError as e:
+            print(f"code tarball failed: {e}")
+
     def _s3_sync(self):
         """Off-site sync via the aws CLI when configured
         (reference model_checkpoint.py:78-92); silent no-op otherwise."""
         if not self.s3_path:
             return
+        self._save_code_tarball()
         import subprocess
         try:
             subprocess.run(

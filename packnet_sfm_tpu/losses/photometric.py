@@ -100,31 +100,61 @@ def multiview_photometric_loss(
     images = match_scales(image, shapes)
     depths = [inv2depth(d) for d in inv_depths]
 
-    cams, ref_cams = [], []
-    for (h, w), pose_placeholder in zip(shapes, range(n)):
-        sf = w / float(full_w)
-        cams.append(Camera(K=scale_intrinsics(K.astype(jnp.float32), sf)))
-        ref_cams.append(sf)  # store scale; ref cam depends on per-context pose
-
     # photometric_losses[i] collects [B, Hs, Ws, 1] maps across contexts
     # (+ identity terms when automasking), then reduces with min/mean.
+    #
+    # All contexts — and, when automasking, their identity-reprojection
+    # terms — are stacked on the batch axis so each scale runs ONE warp and
+    # ONE L1+SSIM chain instead of 2·n_ctx small ones (the multiscale loss
+    # tail is launch-bound on the small scales: docs/STATUS.md round-3 perf
+    # notes). Elementwise math is identical; only kernel batching changes.
+    # clip_loss pools its mean/std statistics per map, so it falls back to
+    # the per-context path.
     photometric_losses = [[] for _ in range(n)]
-    for ref_image, pose in zip(context, poses):
+    n_ctx = len(context)
+    b = image.shape[0]
+    if cfg.clip_loss == 0.0:
+        poses_2 = jnp.concatenate(list(poses), axis=0)          # [n_ctx*B,4,4]
         for i in range(n):
             h, w = shapes[i]
             sf = w / float(full_w)
-            ref_cam = Camera(K=scale_intrinsics(ref_K.astype(jnp.float32), sf), Tcw=pose)
-            warped = view_synthesis(
-                match_scales(ref_image, [shapes[i]])[0],
-                depths[i], ref_cam, cams[i], padding_mode=cfg.padding_mode,
-            )
-            photometric_losses[i].append(_photometric_map(warped, images[i], cfg))
-        if cfg.automask_loss:
-            ref_scaled = match_scales(ref_image, shapes)
+            K_s = scale_intrinsics(K.astype(jnp.float32), sf)
+            refK_s = scale_intrinsics(ref_K.astype(jnp.float32), sf)
+            refs2 = jnp.concatenate(
+                [match_scales(r, [shapes[i]])[0] for r in context], axis=0)
+            depth2 = jnp.concatenate([depths[i]] * n_ctx, axis=0)
+            cam2 = Camera(K=jnp.concatenate([K_s] * n_ctx, axis=0))
+            ref_cam2 = Camera(K=jnp.concatenate([refK_s] * n_ctx, axis=0),
+                              Tcw=poses_2)
+            warped2 = view_synthesis(refs2, depth2, ref_cam2, cam2,
+                                     padding_mode=cfg.padding_mode)
+            est = jnp.concatenate([warped2, refs2], axis=0) \
+                if cfg.automask_loss else warped2
+            tgt = jnp.concatenate([images[i]] * (est.shape[0] // b), axis=0)
+            pm = _photometric_map(est, tgt, cfg)
+            photometric_losses[i] = [pm[k * b:(k + 1) * b]
+                                     for k in range(est.shape[0] // b)]
+    else:
+        cams = [Camera(K=scale_intrinsics(
+            K.astype(jnp.float32), w / float(full_w))) for (h, w) in shapes]
+        for ref_image, pose in zip(context, poses):
             for i in range(n):
-                photometric_losses[i].append(
-                    _photometric_map(ref_scaled[i], images[i], cfg)
+                h, w = shapes[i]
+                sf = w / float(full_w)
+                ref_cam = Camera(
+                    K=scale_intrinsics(ref_K.astype(jnp.float32), sf), Tcw=pose)
+                warped = view_synthesis(
+                    match_scales(ref_image, [shapes[i]])[0],
+                    depths[i], ref_cam, cams[i], padding_mode=cfg.padding_mode,
                 )
+                photometric_losses[i].append(
+                    _photometric_map(warped, images[i], cfg))
+            if cfg.automask_loss:
+                ref_scaled = match_scales(ref_image, shapes)
+                for i in range(n):
+                    photometric_losses[i].append(
+                        _photometric_map(ref_scaled[i], images[i], cfg)
+                    )
 
     def reduce_one(losses: list) -> jnp.ndarray:
         if cfg.photometric_reduce_op == "mean":

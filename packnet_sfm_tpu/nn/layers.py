@@ -24,7 +24,7 @@ class FastGroupNorm(nn.Module):
     minor dim lane-pads up to 32x, and the GN chains were the largest
     single cost of the PackNet train step (measured: a 2-block residual
     stack at [8,96,320,64] spent ~12 ms, ~20x its bandwidth bound; see
-    docs/STATUS.md round-2 perf notes). This computes identical statistics
+    docs/STATUS.md round-3 perf notes). This computes identical statistics
     from [B, C] f32 moment reductions (the group fold happens on the tiny
     [B, C] tensor, never on the activation), then applies one per-channel
     affine that XLA fuses into the neighboring elementwise ops.
@@ -47,14 +47,19 @@ class FastGroupNorm(nn.Module):
         red = tuple(range(1, x.ndim - 1))
         xf = x.astype(jnp.float32)
         # One-pass E[x²]−E[x]² cancels catastrophically once |mean| >> std
-        # (f32 loses the variance entirely around mean/std ≈ 1e3). Center on
-        # a cheap per-group shift first — the mean of the middle spatial row
-        # (one contiguous 1/H-sized read) — then the one-pass formula runs on
-        # centered values. The residual |shift−mean| is bounded by the data
-        # range, so the error amplification (1 + Δ²/σ²)·eps stays harmless
-        # for any input whose row means are within a few σ·√N of the group
-        # mean (test_layers.py pins adversarial cases).
-        if x.ndim >= 3 and x.shape[1] > 1:
+        # (f32 loses the variance entirely around mean/std ≈ 1e3). In f32
+        # compute, center on a cheap per-group shift first — the mean of the
+        # middle spatial row (one contiguous 1/H-sized read) — then the
+        # one-pass formula runs on centered values; the residual |shift−mean|
+        # is bounded by the data range so the (1 + Δ²/σ²)·eps amplification
+        # stays harmless (test_layers.py pins adversarial cases). In bf16
+        # compute the shift is skipped (measured ~3.5% of the whole train
+        # step): the 8-bit-mantissa input quantization injects variance
+        # ~(mean/443)² — for any |mean|/std large enough for f32 cancellation
+        # to matter, the bf16 input has already destroyed the information the
+        # shift would preserve.
+        f32_compute = self.dtype is None or self.dtype == jnp.float32
+        if f32_compute and x.ndim >= 3 and x.shape[1] > 1:
             mid = x.shape[1] // 2
             shift = jnp.mean(
                 xf[:, mid].reshape(x.shape[0], -1, g, c // g), axis=(1, 3))

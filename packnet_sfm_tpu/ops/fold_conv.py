@@ -8,10 +8,10 @@ followed by a channel fold ``view(b, d*Cp, h, w)`` and a 2D conv
 both of which avoid ever materializing a tensor with a small (lane-padded)
 minor dimension:
 
-- ``channel_conv3d``: the 3D conv alone as 27 channel/spatially-shifted
-  fused multiply-adds accumulated directly into the folded
-  [B, H, W, d*Cp] layout (used by the unpack layers, where a GroupNorm+ELU
-  sits *before* the 3D conv so no fusion is possible).
+- ``channel_conv3d``: the 3D conv alone, as one dense MXU conv with a
+  banded [3, 3, Cp, d*Cp] kernel scattered from the w3 taps (used by the
+  unpack layers, where a GroupNorm+ELU sits *before* the 3D conv so no
+  fusion with the preceding 2D conv is possible).
 
 - ``fused_pack_conv``: conv3d∘fold∘conv2d collapsed algebraically into a
   single (k+2)x(k+2) convolution over the **unexpanded** Cp channels. The
@@ -19,11 +19,13 @@ minor dimension:
   ``K[a+h, b+x, c', o] = sum_{z,j} w3[z,h,x,j] * w2[a, b, j*Cp + c'-z+1, o]``
   is exact in the interior. At image borders the composition differs from
   the merged conv (the reference zero-pads the *intermediate*, which is not
-  the same as zero-padding the input), so border strips of width k//2 are
-  recomputed exactly through the two-step path on thin slabs and pasted
-  over. Result: bitwise-equivalent math at every pixel, ~2.5-4x fewer
-  FLOPs, and no [B, H, W, d*Cp] activation in the train graph (the tensor
-  family that previously OOMed conv backward at batch 4 on v5e).
+  the same as zero-padding the input); the difference is subtracted in
+  closed form (ring/corner/bias corrections below). Result:
+  bitwise-equivalent math at every pixel, ~2.5-4x fewer FLOPs, and no
+  [B, H, W, d*Cp] activation in the train graph (the tensor family that
+  previously OOMed conv backward at batch 4 on v5e). Spatially tiny layers
+  (pack5) take the two-step path instead — the per-step merged-kernel
+  construction does not amortize there (see ``_FUSE_MIN_POSITIONS``).
 
 Gradients flow through the merged-kernel construction to both weight
 tensors, so training and checkpoint formats are unchanged.
@@ -50,10 +52,43 @@ def channel_conv3d(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
     x: [B, H, W, Cp]; kernel: [3, 3, 3, 1, d] (kz, kh, kx, 1, d); bias: [d].
     Returns [B, H, W, d*Cp] with channel index j*Cp + c (j = 3D feature,
     matching the reference fold layers01.py:243-245).
+
+    Two formulations by Cp size (docs/STATUS.md round-3 perf notes):
+
+    - Cp <= 512 (every unpack layer): ONE dense 2D conv with a banded
+      [3, 3, Cp, d*Cp] kernel scattered from the 27 w3 taps
+      (K[h, x, c+z-1, j*Cp+c] = w3[z, h, x, j]). The band is mostly zeros
+      (Cp/3 x redundant FLOPs) but it runs on the MXU; the 27-term
+      shifted-FMA formulation was pure VPU/bandwidth work that cost ~31 ms
+      for the unpack1 layer alone at 192x640 b8 (now 4.6 ms).
+    - Cp > 512 (pack5's two-step path, Cp=2048): the banded kernel itself
+      would be ~1.2 GB (f32 [3,3,2048,16384] plus layout copies — OOMs), so
+      the 27 channel/spatially-shifted fused multiply-adds accumulate
+      directly into the folded layout instead; at pack5's tiny spatial size
+      the VPU pass is cheap.
     """
     b, h, w, cp = x.shape
     d = kernel.shape[-1]
     dtype = dtype or x.dtype
+    if cp <= 512:
+        w3f = kernel[:, :, :, 0, :].astype(jnp.float32)        # [3(z),3,3,d]
+        c = jnp.arange(cp)
+        jj = jnp.arange(d)
+        out_idx = (jj[:, None] * cp + c[None, :]).reshape(-1)  # [d*cp]
+        kk = jnp.zeros((3, 3, cp, d * cp), jnp.float32)
+        for z in range(3):
+            cin = c + z - 1
+            valid = (cin >= 0) & (cin < cp)
+            cin_b = jnp.broadcast_to(cin[None, :], (d, cp)).reshape(-1)
+            val_b = jnp.broadcast_to(valid[None, :], (d, cp)).reshape(-1)
+            # values [3,3,d*cp]: w3[z,h,x,j] per (j, c), zeroed where invalid
+            vals = jnp.repeat(w3f[z], cp, axis=-1) * val_b[None, None, :]
+            kk = kk.at[:, :, jnp.clip(cin_b, 0, cp - 1), out_idx].add(vals)
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype), kk.astype(dtype), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + jnp.repeat(bias.astype(dtype), cp)[None, None, None, :]
+
     xc = x.astype(dtype)
     kw_ = kernel.astype(dtype)
     xp = jnp.pad(xc, ((0, 0), (1, 1), (1, 1), (1, 1)))
@@ -88,33 +123,43 @@ def pack_conv_two_step(x: jnp.ndarray, w3: jnp.ndarray, b3: jnp.ndarray,
     return conv2d_same(z, w2, b2, dtype)
 
 
+def _shift_cp(t: jnp.ndarray, z: int) -> jnp.ndarray:
+    """Shift the Cp (second-to-last) axis for 3D-conv tap z: input channel c'
+    contributes via intermediate channel c = c'-z+1, zero at fold edges."""
+    if z == 0:
+        return jnp.concatenate(
+            [t[..., 1:, :], jnp.zeros_like(t[..., :1, :])], axis=-2)
+    if z == 2:
+        return jnp.concatenate(
+            [jnp.zeros_like(t[..., :1, :]), t[..., :-1, :]], axis=-2)
+    return t
+
+
 def _merged_kernel(w3: jnp.ndarray, w2: jnp.ndarray, cp: int):
     """Collapse conv3d∘fold∘conv2d into one (k+2)x(k+2)xCpxCout kernel (f32).
 
     Valid in the interior (all intermediate taps in-image); see module
     docstring for the border treatment.
+
+    Built as 27 small per-tap einsums accumulated in place: a single
+    ``einsum('zhxj,abjpo->zhxabpo')`` materializes a
+    [3,3,3,k,k,Cp,Cout] intermediate — ~1 GB f32 for the pack5 layer
+    (Cp=2048, Cout=512) — which made pack5 alone cost 50 ms of the train
+    step (docs/STATUS.md round-3 perf notes). The loop keeps the largest
+    live tensor at [k,k,Cp,Cout].
     """
     k2 = w2.shape[0]
     d = w3.shape[-1]
     cout = w2.shape[-1]
     w3f = w3[:, :, :, 0, :].astype(jnp.float32)                 # [3,3,3,d]
     w2f = w2.astype(jnp.float32).reshape(k2, k2, d, cp, cout)   # j major fold
-    # t[z,h,x,a,b,c,o] = sum_j w3[z,h,x,j] * w2[a,b,j,c,o]
-    t = jnp.einsum("zhxj,abjpo->zhxabpo", w3f, w2f)
     kk = jnp.zeros((k2 + 2, k2 + 2, cp, cout), jnp.float32)
     for z in range(3):
-        tz = t[z]
-        # input channel c' contributes via intermediate channel c = c'-z+1;
-        # shift along the Cp axis with zero fill at the fold boundaries.
-        if z == 0:
-            tz = jnp.concatenate(
-                [tz[..., 1:, :], jnp.zeros_like(tz[..., :1, :])], axis=-2)
-        elif z == 2:
-            tz = jnp.concatenate(
-                [jnp.zeros_like(tz[..., :1, :]), tz[..., :-1, :]], axis=-2)
+        w2z = _shift_cp(w2f, z)                                 # [k,k,d,cp,cout]
         for hh in range(3):
             for xx in range(3):
-                kk = kk.at[hh:hh + k2, xx:xx + k2].add(tz[hh, xx])
+                term = jnp.einsum("j,abjpo->abpo", w3f[z, hh, xx], w2z)
+                kk = kk.at[hh:hh + k2, xx:xx + k2].add(term)
     return kk
 
 
@@ -130,19 +175,15 @@ def _merged_border_kernel(w3_slice: jnp.ndarray, w2_sel: jnp.ndarray, cp: int):
     n, k2 = w2_sel.shape[:2]
     d = w3_slice.shape[-1]
     cout = w2_sel.shape[-1]
+    w3s = w3_slice.astype(jnp.float32)
     w2r = w2_sel.astype(jnp.float32).reshape(n, k2, d, cp, cout)
-    t = jnp.einsum("ztj,nbjpo->nztbpo", w3_slice.astype(jnp.float32), w2r)
     kk = jnp.zeros((n, k2 + 2, cp, cout), jnp.float32)
+    # per-tap loop for the same reason as _merged_kernel: no big intermediate
     for z in range(3):
-        tz = t[:, z]                          # [n, 3(kt), k2, cp, cout]
-        if z == 0:
-            tz = jnp.concatenate(
-                [tz[..., 1:, :], jnp.zeros_like(tz[..., :1, :])], axis=-2)
-        elif z == 2:
-            tz = jnp.concatenate(
-                [jnp.zeros_like(tz[..., :1, :]), tz[..., :-1, :]], axis=-2)
+        w2z = _shift_cp(w2r, z)                                # [n,k2,d,cp,cout]
         for kt in range(3):
-            kk = kk.at[:, kt:kt + k2].add(tz[:, kt])
+            term = jnp.einsum("j,nbjpo->nbpo", w3s[z, kt], w2z)
+            kk = kk.at[:, kt:kt + k2].add(term)
     return kk
 
 
@@ -158,13 +199,26 @@ def _ring_vec(x_px: jnp.ndarray, w3_col: jnp.ndarray, cp: int) -> jnp.ndarray:
                       shifts).reshape(x_px.shape[0], -1)
 
 
+# Crossover for the fused-vs-two-step choice (mode="auto"): the merged-kernel
+# construction costs O(27·|w2|) weight-space traffic per step, amortized over
+# B·H·W output positions. Measured on-chip at 192x640 b8 (docs/STATUS.md
+# round-3 perf notes): pack5 (960 positions) fused 37.4 ms vs two-step
+# 10.5 ms; pack4 (3840 positions) fused 8.1 ms vs two-step 13.9 ms.
+_FUSE_MIN_POSITIONS = 2048
+
+
 def fused_pack_conv(x: jnp.ndarray, w3: jnp.ndarray, b3: jnp.ndarray,
                     w2: jnp.ndarray, b2: jnp.ndarray,
-                    dtype: Optional[jnp.dtype] = None) -> jnp.ndarray:
+                    dtype: Optional[jnp.dtype] = None,
+                    mode: str = "auto") -> jnp.ndarray:
     """Exact pack conv as ONE conv over Cp channels + algebraic border fix.
 
     x: [B, H, W, Cp]; w3: [3,3,3,1,d]; w2: [k,k,d*Cp,Cout]. Output equals
     ``pack_conv_two_step`` at every pixel (up to dtype rounding).
+
+    mode: "auto" picks fused vs two-step by the measured crossover
+    (``_FUSE_MIN_POSITIONS``); "fused" forces the merged-kernel path
+    (tests pin its exactness); "two_step" forces the reference-order path.
 
     Border treatment: the merged conv differs from the two-step composition
     only through (a) the 1-pixel ring of the intermediate z that the two-step
@@ -175,7 +229,7 @@ def fused_pack_conv(x: jnp.ndarray, w3: jnp.ndarray, b3: jnp.ndarray,
     (Cin = Cp, not d*Cp), corners are rank-1 einsums, and the bias error is
     a per-border-offset constant. This replaced a two-step strip recompute
     that cost ~30% of the whole train step (40 awkward thin-slab convs per
-    network fwd; docs/STATUS.md round-2 perf notes).
+    network fwd; docs/STATUS.md round-3 perf notes).
     """
     b, h, w, cp = x.shape
     k2 = w2.shape[0]
@@ -185,6 +239,10 @@ def fused_pack_conv(x: jnp.ndarray, w3: jnp.ndarray, b3: jnp.ndarray,
     dtype = dtype or x.dtype
     if h < 2 * m + 2 or w < 2 * m + 2:
         # image too small for disjoint border regions; two-step is cheap
+        return pack_conv_two_step(x, w3, b3, w2, b2, dtype)
+    if mode == "two_step" or (mode == "auto" and b * h * w < _FUSE_MIN_POSITIONS):
+        # spatially tiny layer (e.g. pack5 at 192x640): the per-step merged-
+        # kernel construction costs more than the conv it saves
         return pack_conv_two_step(x, w3, b3, w2, b2, dtype)
 
     kk = _merged_kernel(w3, w2, cp)

@@ -30,14 +30,16 @@ def test_fused_pack_conv_matches_two_step(k2, d, cp, h, w):
     b2 = jnp.asarray(rng.randn(24).astype(np.float32))
 
     a = pack_conv_two_step(x, w3, b3, w2, b2)
-    b = fused_pack_conv(x, w3, b3, w2, b2)
+    # mode='fused' pins the merged-kernel path: these shapes are below
+    # the auto crossover and would silently take the two-step path
+    b = fused_pack_conv(x, w3, b3, w2, b2, mode="fused")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
 
     # gradient parity wrt every operand
     g = jnp.asarray(rng.randn(*a.shape).astype(np.float32))
     ga = jax.grad(lambda *p: jnp.vdot(pack_conv_two_step(*p), g),
                   argnums=(0, 1, 2, 3, 4))(x, w3, b3, w2, b2)
-    gb = jax.grad(lambda *p: jnp.vdot(fused_pack_conv(*p), g),
+    gb = jax.grad(lambda *p: jnp.vdot(fused_pack_conv(*p, mode="fused"), g),
                   argnums=(0, 1, 2, 3, 4))(x, w3, b3, w2, b2)
     for u, v in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(u), np.asarray(v),

@@ -150,3 +150,19 @@ class TestPreemption:
         assert t2.current_epoch == 0  # interrupted epoch 0 is redone
         t2.fit()
         assert t2.current_epoch == 1
+
+
+def test_checkpoint_code_tarball(tmp_path):
+    """S3-synced runs carry a one-time source snapshot (reference
+    model_checkpoint.py:78-92 save_code)."""
+    import tarfile
+    from packnet_sfm_tpu.engine.checkpoint import ModelCheckpoint
+
+    mc = ModelCheckpoint(str(tmp_path / "ck"), s3_path="s3://unused")
+    mc._save_code_tarball()
+    tar = tmp_path / "ck" / "code.tar.gz"
+    assert tar.exists()
+    with tarfile.open(tar) as t:
+        names = t.getnames()
+    assert any(n.endswith("engine/checkpoint.py") for n in names)
+    assert not any("__pycache__" in n for n in names)
