@@ -25,13 +25,30 @@ _DEPTH_KEYS = ("depth", "input_depth")
 
 def resize_image(image: np.ndarray, shape) -> np.ndarray:
     """Antialiased (Lanczos) resize, parity with reference resize_image
-    (augmentations.py:14, PIL ANTIALIAS)."""
+    (augmentations.py:14, PIL ANTIALIAS).
+
+    Accepts uint8 (loader hot path — stays uint8, no float roundtrip; for
+    uint8-sourced images the result is bitwise identical to the old
+    float->u8->resize->float chain) or float32 in [0, 1]."""
     h, w = int(shape[0]), int(shape[1])
     if image.shape[:2] == (h, w):
         return image
+    if image.dtype == np.uint8:
+        return np.asarray(Image.fromarray(image).resize((w, h), Image.LANCZOS))
     pil = Image.fromarray((np.clip(image, 0, 1) * 255).astype(np.uint8))
     out = pil.resize((w, h), Image.LANCZOS)
     return np.asarray(out).astype(np.float32) / 255.0
+
+
+def ensure_float_sample(sample: dict) -> dict:
+    """Convert any uint8 image entries to float32 [0, 1] (model contract)."""
+    for key in filter_dict(sample, _IMAGE_KEYS):
+        if sample[key].dtype == np.uint8:
+            sample[key] = sample[key].astype(np.float32) / 255.0
+    for key in filter_dict(sample, _IMAGE_LIST_KEYS):
+        sample[key] = [im.astype(np.float32) / 255.0 if im.dtype == np.uint8
+                       else im for im in sample[key]]
+    return sample
 
 
 def resize_depth(depth: np.ndarray, shape) -> np.ndarray:
@@ -107,20 +124,27 @@ def duplicate_sample(sample: dict) -> dict:
 
 
 def _jitter_image(image: np.ndarray, b: float, c: float, s: float, h: float) -> np.ndarray:
-    """Apply brightness/contrast/saturation factors + hue shift, in [0,1]."""
-    out = image * b
-    mean = out.mean(axis=(0, 1), keepdims=True)
-    out = (out - mean) * c + mean
-    gray = out.mean(axis=-1, keepdims=True)
-    out = (out - gray) * s + gray
-    out = np.clip(out, 0.0, 1.0)
+    """Apply brightness/contrast/saturation factors + hue shift, in [0,1].
+
+    Algebraically identical to the naive four-pass form
+    (out=img*b; out=(out-mean)*c+mean; out=(out-gray)*s+gray; clip) but
+    fused into two affine passes — brightness+contrast collapse to
+    ``img*(b*c) + mean_c*(1-c)`` — because this runs per context image per
+    sample on the loader hot path."""
+    mean = image.reshape(-1, 3).mean(0) * (b * (1.0 - c))   # [3]
+    out = image * (b * c) + mean
+    gray = (out[..., 0] + out[..., 1] + out[..., 2]) * ((1.0 - s) / 3.0)
+    out *= s
+    out += gray[..., None]
+    np.clip(out, 0.0, 1.0, out=out)
     if h != 0.0:
-        import colorsys  # noqa: F401  (documentation only)
-        # hue rotation in HSV space via cv2 for speed
+        # hue rotation in HSV space via cv2 (uint8, LUT on the H channel —
+        # same (h + shift) % 180 arithmetic as an int16 pass)
         import cv2
-        hsv = cv2.cvtColor((out * 255).astype(np.uint8), cv2.COLOR_RGB2HSV).astype(np.int16)
-        hsv[..., 0] = (hsv[..., 0] + int(h * 180)) % 180
-        out = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB).astype(np.float32) / 255.0
+        hsv = cv2.cvtColor((out * 255).astype(np.uint8), cv2.COLOR_RGB2HSV)
+        lut = ((np.arange(256) + round(h * 180)) % 180).astype(np.uint8)
+        hsv[..., 0] = lut[hsv[..., 0]]
+        out = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB).astype(np.float32) / 255.0
     return out.astype(np.float32)
 
 
@@ -153,6 +177,9 @@ def train_transform(sample: dict, image_shape, jittering, crop_train_borders,
         sample = crop_sample(sample, borders)
     if image_shape:
         sample = resize_sample(sample, image_shape)
+    # crop + resize run on uint8 (no full-res float roundtrip); the model
+    # contract (float32 [0,1]) starts here, on the small resized images
+    sample = ensure_float_sample(sample)
     sample = duplicate_sample(sample)
     if jittering:
         sample = colorjitter_sample(sample, jittering, rng)
@@ -181,4 +208,4 @@ def eval_transform(sample: dict, image_shape, crop_eval_borders,
         if "input_depth" in sample:
             rd = resize_depth_preserve if depth_preserve_input else resize_depth
             sample["input_depth"] = rd(sample["input_depth"], image_shape)
-    return sample
+    return ensure_float_sample(sample)

@@ -31,7 +31,7 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
-from packnet_sfm_tpu.datasets.kitti import load_image
+from packnet_sfm_tpu.datasets.kitti import load_image_u8
 from packnet_sfm_tpu.datasets.kitti_utils import invert_pose_numpy
 
 
@@ -171,7 +171,7 @@ class DDADDataset:
 
     def _load_rgb(self, scene: _Scene, sample_idx: int, cam: str) -> np.ndarray:
         rec = self._image_record(scene, sample_idx, cam)
-        return load_image(os.path.join(scene.dir, rec["filename"]))
+        return load_image_u8(os.path.join(scene.dir, rec["filename"]))
 
     def _pose(self, scene: _Scene, sample_idx: int, cam: str) -> np.ndarray:
         rec = self._image_record(scene, sample_idx, cam)
@@ -232,6 +232,9 @@ class DDADDataset:
                     for c in ctx_idxs]
         if self.data_transform is not None:
             sample = self.data_transform(sample, idx=idx)
+        else:
+            from packnet_sfm_tpu.datasets.augmentations import ensure_float_sample
+            sample = ensure_float_sample(sample)
         return sample
 
     def __getitem__(self, idx: int) -> dict:

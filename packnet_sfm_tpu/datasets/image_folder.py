@@ -11,7 +11,7 @@ from typing import Optional
 
 import numpy as np
 
-from packnet_sfm_tpu.datasets.kitti import load_image
+from packnet_sfm_tpu.datasets.kitti import load_image_u8
 
 
 def dummy_intrinsics(image: np.ndarray) -> np.ndarray:
@@ -62,7 +62,7 @@ class ImageFolderDataset:
         return os.path.join(folder, base[pos])
 
     def __getitem__(self, idx: int) -> dict:
-        rgb = load_image(self.files[idx])
+        rgb = load_image_u8(self.files[idx])
         sample = {
             "idx": idx,
             "filename": os.path.splitext(os.path.basename(self.files[idx]))[0],
@@ -72,7 +72,10 @@ class ImageFolderDataset:
         if self.has_context:
             ctx = [self._neighbor(idx, -d) for d in range(self.backward_context, 0, -1)]
             ctx += [self._neighbor(idx, d) for d in range(1, self.forward_context + 1)]
-            sample["rgb_context"] = [load_image(f) for f in ctx]
+            sample["rgb_context"] = [load_image_u8(f) for f in ctx]
         if self.data_transform is not None:
             sample = self.data_transform(sample, idx=idx)
+        else:
+            from packnet_sfm_tpu.datasets.augmentations import ensure_float_sample
+            sample = ensure_float_sample(sample)
         return sample

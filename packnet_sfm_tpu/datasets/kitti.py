@@ -36,19 +36,27 @@ PNG_DEPTH_DATASETS = ("groundtruth",)
 OXTS_POSE_DATA = "oxts"
 
 
-def load_image(path: str) -> np.ndarray:
-    """RGB image as float32 [H, W, 3] in [0, 1].
+def load_image_u8(path: str) -> np.ndarray:
+    """RGB image as uint8 [H, W, 3].
 
     Decodes through the native C++ pipeline when available (the loader hot
     path — PIL is the fallback, and the parity of both paths is pinned by
-    tests/test_native.py)."""
+    tests/test_native.py). Images stay uint8 through crop/resize and are
+    converted to float32 [0, 1] only at the end of the transform (on the
+    small resized image) — the full-resolution float roundtrip cost ~40%
+    of the per-sample load time (docs/STATUS.md round-3 input pipeline)."""
     if path.lower().endswith((".jpg", ".jpeg", ".png")):
         from packnet_sfm_tpu.native import decode_image
         arr = decode_image(path)
         if arr is not None:
-            return arr.astype(np.float32) / 255.0
+            return arr
     with Image.open(path) as im:
-        return np.asarray(im.convert("RGB")).astype(np.float32) / 255.0
+        return np.asarray(im.convert("RGB"))
+
+
+def load_image(path: str) -> np.ndarray:
+    """RGB image as float32 [H, W, 3] in [0, 1]."""
+    return load_image_u8(path).astype(np.float32) / 255.0
 
 
 def read_npz_depth(file: str, depth_type: str) -> np.ndarray:
@@ -277,7 +285,7 @@ class KITTIDataset:
         sample = {
             "idx": idx,
             "filename": f"{self.split}_{idx:010d}",
-            "rgb": load_image(path),
+            "rgb": load_image_u8(path),
             "intrinsics": self._intrinsics(path),
         }
         if self.with_pose:
@@ -291,7 +299,7 @@ class KITTIDataset:
             ctx_idxs = list(self.backward_context_idxs[idx]) + \
                 list(self.forward_context_idxs[idx])
             ctx_files = [self._neighbor_file(i, path) for i in ctx_idxs]
-            sample["rgb_context"] = [load_image(f) for f in ctx_files]
+            sample["rgb_context"] = [load_image_u8(f) for f in ctx_files]
             if self.with_pose:
                 first = sample["pose"]
                 sample["pose_context"] = [
@@ -299,4 +307,7 @@ class KITTIDataset:
                     for f in ctx_files]
         if self.data_transform is not None:
             sample = self.data_transform(sample, idx=idx)
+        else:
+            from packnet_sfm_tpu.datasets.augmentations import ensure_float_sample
+            sample = ensure_float_sample(sample)
         return sample

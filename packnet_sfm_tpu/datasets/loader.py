@@ -129,31 +129,44 @@ class DataLoader:
 
     def epoch(self, epoch: int = 0) -> Iterator[dict]:
         """Iterate batches for ``epoch`` (order is a pure function of
-        (seed, epoch))."""
-        plan = self._batch_plan(epoch)
+        (seed, epoch)).
 
-        def load_batch(bi: int) -> dict:
-            idxs, pad = plan[bi]
-            batch = collate([self.dataset[int(i)] for i in idxs])
+        Prefetch is at SAMPLE granularity: every worker thread decodes one
+        sample (PIL/libjpeg/cv2 all release the GIL), and batches are
+        assembled in plan order on the consumer thread. The old batch-
+        granular prefetch serialized each batch's batch_size*3 decodes on
+        one thread and capped parallelism at the batch depth (measured 10
+        imgs/s vs the chip's ~40; docs/STATUS.md round-3 input pipeline)."""
+        plan = self._batch_plan(epoch)
+        nb = len(plan)
+
+        def assemble(samples, pad: int) -> dict:
+            batch = collate(samples)
             if pad:
                 batch["pad_count"] = pad
             return batch
 
-        nb = len(plan)
         if self.num_workers <= 1:
-            for bi in range(nb):
-                yield load_batch(bi)
+            for idxs, pad in plan:
+                yield assemble([self.dataset[int(i)] for i in idxs], pad)
             return
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-            depth = min(self.num_workers, 4)
-            futures = [pool.submit(load_batch, bi) for bi in range(min(depth, nb))]
-            next_submit = len(futures)
+            # enough batches in flight to keep every worker busy
+            depth = min(nb, max(2, -(-2 * self.num_workers // self.batch_size)))
+
+            def submit(bi: int):
+                idxs, pad = plan[bi]
+                return [pool.submit(self.dataset.__getitem__, int(i))
+                        for i in idxs], pad
+            inflight = {bi: submit(bi) for bi in range(depth)}
+            next_submit = depth
             for bi in range(nb):
-                batch = futures[bi % depth].result()
+                futures, pad = inflight.pop(bi)
+                samples = [f.result() for f in futures]
                 if next_submit < nb:
-                    futures[next_submit % depth] = pool.submit(load_batch, next_submit)
+                    inflight[next_submit] = submit(next_submit)
                     next_submit += 1
-                yield batch
+                yield assemble(samples, pad)
 
 
 def make_transform(mode: str, aug_cfg, seed: int = 42):

@@ -35,6 +35,7 @@ from packnet_sfm_tpu.engine.metrics import (
     post_process_inv_depth,
 )
 from packnet_sfm_tpu.models.sfm import SfmModelDef, model_forward, model_loss
+from packnet_sfm_tpu.ops.fold_conv import force_mode as fold_conv_force_mode
 from packnet_sfm_tpu.parallel.mesh import batch_sharding, replicate_sharding
 
 METRIC_KEYS = ("loss", "photometric_loss", "smoothness_loss",
@@ -175,11 +176,16 @@ def make_train_step(
     # in_shardings/out_shardings: on the axon-tunneled backend that code path
     # executed ~65x slower than the committed-operand path (214ms vs 14s per
     # step, measured) with identical semantics.
+    space_sharded = dict(getattr(mesh, "shape", {})).get("space", 1) > 1
     del mesh
     jitted = jax.jit(step, donate_argnums=(0, 1))
 
     def call(state, acc, batch, progress=0.0):
-        return jitted(state, acc, batch, jnp.float32(progress))
+        # Under a space-partitioned mesh, trace the pack layers through the
+        # two-step path — the fused border corrections straddle the 'space'
+        # shard boundary and explode SPMD compile time (fold_conv.force_mode).
+        with fold_conv_force_mode("two_step" if space_sharded else None):
+            return jitted(state, acc, batch, jnp.float32(progress))
 
     return call
 
@@ -242,5 +248,12 @@ def make_eval_step(
             "inv_depth": inv_depth_pp,
         }
 
+    space_sharded = dict(getattr(mesh, "shape", {})).get("space", 1) > 1
     del mesh  # placement-driven sharding; see make_train_step
-    return jax.jit(step)
+    jitted = jax.jit(step)
+
+    def call(*args, **kwargs):
+        with fold_conv_force_mode("two_step" if space_sharded else None):
+            return jitted(*args, **kwargs)
+
+    return call

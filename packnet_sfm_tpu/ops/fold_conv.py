@@ -44,6 +44,33 @@ import jax.numpy as jnp
 # time; never set in training/eval runs (test_fold_fusion pins exactness).
 _EXACT_BORDERS = os.environ.get("PN_FOLD_BORDERS", "1") != "0"
 
+# Trace-time mode override for "auto" callers (see force_mode). Set to
+# "two_step" by the engine while tracing steps over a space-partitioned
+# (2D data x space) mesh: the fused path's border corrections are
+# .at[:, :m]/.at[:, -m:] updates that straddle the 'space' shard boundary,
+# and the SPMD partitioner turns each into cross-shard dynamic-update-slice
+# + collective pairs — 21 pack/unpack layers of that made the 2D-mesh
+# compile blow past the driver's dryrun budget (MULTICHIP_r02 rc=124).
+# The two-step path is plain halo-exchanged convs, which partition cheaply.
+_MODE_OVERRIDE: Optional[str] = None
+
+
+class force_mode:
+    """Context manager: override mode="auto" calls while tracing."""
+
+    def __init__(self, mode: Optional[str]):
+        self.mode = mode
+
+    def __enter__(self):
+        global _MODE_OVERRIDE
+        self._prev = _MODE_OVERRIDE
+        if self.mode is not None:
+            _MODE_OVERRIDE = self.mode
+
+    def __exit__(self, *exc):
+        global _MODE_OVERRIDE
+        _MODE_OVERRIDE = self._prev
+
 
 def channel_conv3d(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
                    dtype: Optional[jnp.dtype] = None) -> jnp.ndarray:
@@ -237,6 +264,8 @@ def fused_pack_conv(x: jnp.ndarray, w3: jnp.ndarray, b3: jnp.ndarray,
     d = w3.shape[-1]
     cout = w2.shape[-1]
     dtype = dtype or x.dtype
+    if mode == "auto" and _MODE_OVERRIDE is not None:
+        mode = _MODE_OVERRIDE
     if h < 2 * m + 2 or w < 2 * m + 2:
         # image too small for disjoint border regions; two-step is cheap
         return pack_conv_two_step(x, w3, b3, w2, b2, dtype)

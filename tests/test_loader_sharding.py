@@ -70,3 +70,21 @@ def test_shuffle_is_epoch_deterministic_across_processes():
         per_proc.append(idxs)
     union = set().union(*[set(p) for p in per_proc])
     assert union == set(range(33))
+
+
+def test_threaded_prefetch_matches_serial():
+    """Sample-granular threaded prefetch (round-3 input-pipeline fix) must
+    yield byte-identical batches in the same order as num_workers=1."""
+    ds = SyntheticSfmDataset(length=13, height=8, width=16)
+    serial = DataLoader(ds, batch_size=4, shuffle=True, drop_last=False,
+                        num_workers=1, process_index=0, process_count=1)
+    threaded = DataLoader(ds, batch_size=4, shuffle=True, drop_last=False,
+                          num_workers=8, process_index=0, process_count=1)
+    a, b = list(serial.epoch(3)), list(threaded.epoch(3))
+    assert len(a) == len(b)
+    for ba, bb in zip(a, b):
+        assert ba.keys() == bb.keys()
+        np.testing.assert_array_equal(ba["idx"], bb["idx"])
+        np.testing.assert_array_equal(ba["rgb"], bb["rgb"])
+        for ca, cb in zip(ba.get("rgb_context", []), bb.get("rgb_context", [])):
+            np.testing.assert_array_equal(ca, cb)
