@@ -2,8 +2,9 @@
 
 MULTICHIP_r02 failed rc=124: the 2D (data x space) phase compile blew the
 driver's budget on a cold cache. This probe times each phase cold so the
-fix (fold_conv.force_mode two-step under a 'space' axis + persistent
-compile cache in __graft_entry__) stays measured.
+fix (pack_mode="two_step" under a 'space' axis, engine/train.py
+_resolve_pack_mode, + persistent compile cache in __graft_entry__) stays
+measured.
 
 Run:  python docs/bench_dryrun_compile.py [cache_dir]
 (uses a throwaway cache dir by default == always cold)

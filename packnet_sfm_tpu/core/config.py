@@ -135,6 +135,13 @@ def get_default_config() -> ConfigNode:
                 "jittering": (0.2, 0.2, 0.2, 0.05),
                 "crop_train_borders": (),
                 "crop_eval_borders": (),
+                # TPU-native input pipeline (docs/STATUS.md round-4): ship
+                # resized uint8 + per-sample factors, jitter in-graph.
+                # False = reference-semantics host jitter (bit-parity path).
+                "device_jitter": True,
+                # train-resize filter: "area" (cv2 INTER_AREA, 3.4x faster)
+                # or "lanczos" (reference-exact). Eval always uses lanczos.
+                "resize_filter": "area",
             },
             "train": {
                 "batch_size": 8, "num_workers": 16,

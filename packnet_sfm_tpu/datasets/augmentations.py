@@ -23,16 +23,31 @@ _IMAGE_LIST_KEYS = ("rgb_context", "rgb_context_original")
 _DEPTH_KEYS = ("depth", "input_depth")
 
 
-def resize_image(image: np.ndarray, shape) -> np.ndarray:
-    """Antialiased (Lanczos) resize, parity with reference resize_image
-    (augmentations.py:14, PIL ANTIALIAS).
+def resize_image(image: np.ndarray, shape, filter: str = "lanczos") -> np.ndarray:
+    """Antialiased resize.
+
+    filter="lanczos" is bit-parity with the reference preprocessing
+    (augmentations.py:14, PIL ANTIALIAS) and is the eval-protocol default —
+    eval resizing defines the metric comparison, so it stays reference-
+    exact. filter="area" (cv2 INTER_AREA, an antialiased box filter) is the
+    TRAIN-transform default: measured 3.4x faster per image on the loader
+    hot path (docs/STATUS.md round-4 input pipeline) and train-time resize
+    is augmentation, not protocol. Override via
+    ``datasets.augmentation.resize_filter``.
 
     Accepts uint8 (loader hot path — stays uint8, no float roundtrip; for
-    uint8-sourced images the result is bitwise identical to the old
+    uint8-sourced images the lanczos result is bitwise identical to the old
     float->u8->resize->float chain) or float32 in [0, 1]."""
     h, w = int(shape[0]), int(shape[1])
     if image.shape[:2] == (h, w):
         return image
+    if filter == "area":
+        import cv2
+        if image.dtype == np.uint8:
+            return cv2.resize(image, (w, h), interpolation=cv2.INTER_AREA)
+        u8 = (np.clip(image, 0, 1) * 255).astype(np.uint8)
+        out = cv2.resize(u8, (w, h), interpolation=cv2.INTER_AREA)
+        return out.astype(np.float32) / 255.0
     if image.dtype == np.uint8:
         return np.asarray(Image.fromarray(image).resize((w, h), Image.LANCZOS))
     pil = Image.fromarray((np.clip(image, 0, 1) * 255).astype(np.uint8))
@@ -76,7 +91,8 @@ def resize_depth_preserve(depth: np.ndarray, shape) -> np.ndarray:
     return out[..., None]
 
 
-def resize_sample(sample: dict, shape, depth_preserve: bool = True) -> dict:
+def resize_sample(sample: dict, shape, depth_preserve: bool = True,
+                  filter: str = "lanczos") -> dict:
     """Resize images + intrinsics + depths (augmentations.py:146-176)."""
     h, w = sample["rgb"].shape[:2]
     oh, ow = int(shape[0]), int(shape[1])
@@ -86,9 +102,9 @@ def resize_sample(sample: dict, shape, depth_preserve: bool = True) -> dict:
         K[1] *= oh / h
         sample["intrinsics"] = K
     for key in filter_dict(sample, _IMAGE_KEYS):
-        sample[key] = resize_image(sample[key], shape)
+        sample[key] = resize_image(sample[key], shape, filter)
     for key in filter_dict(sample, _IMAGE_LIST_KEYS):
-        sample[key] = [resize_image(im, shape) for im in sample[key]]
+        sample[key] = [resize_image(im, shape, filter) for im in sample[key]]
     rd = resize_depth_preserve if depth_preserve else resize_depth
     for key in filter_dict(sample, _DEPTH_KEYS):
         sample[key] = rd(sample[key], shape)
@@ -142,24 +158,33 @@ def _jitter_image(image: np.ndarray, b: float, c: float, s: float, h: float) -> 
         # same (h + shift) % 180 arithmetic as an int16 pass)
         import cv2
         hsv = cv2.cvtColor((out * 255).astype(np.uint8), cv2.COLOR_RGB2HSV)
-        lut = ((np.arange(256) + round(h * 180)) % 180).astype(np.uint8)
+        lut = ((np.arange(256) + int(h * 180)) % 180).astype(np.uint8)
         hsv[..., 0] = lut[hsv[..., 0]]
         out = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB).astype(np.float32) / 255.0
     return out.astype(np.float32)
 
 
+def draw_jitter_params(parameters, rng: np.random.Generator,
+                       prob: float = 1.0) -> np.ndarray:
+    """Draw one sample's shared jitter factors [b, c, s, hue] (identity =
+    [1, 1, 1, 0]): brightness/contrast/saturation in [max(0, 1-v), 1+v],
+    hue in [-v, v] (augmentations.py:244 distribution)."""
+    if rng.uniform() > prob:
+        return np.array([1.0, 1.0, 1.0, 0.0], np.float32)
+    bv, cv, sv, hv = parameters
+    return np.array([
+        rng.uniform(max(0.0, 1 - bv), 1 + bv),
+        rng.uniform(max(0.0, 1 - cv), 1 + cv),
+        rng.uniform(max(0.0, 1 - sv), 1 + sv),
+        rng.uniform(-hv, hv),
+    ], np.float32)
+
+
 def colorjitter_sample(sample: dict, parameters, rng: np.random.Generator,
                        prob: float = 1.0) -> dict:
     """Color-jitter 'rgb' and contexts with shared random factors
-    (augmentations.py:244): brightness/contrast/saturation in
-    [max(0, 1-v), 1+v], hue in [-v, v]."""
-    if rng.uniform() > prob:
-        return sample
-    bv, cv, sv, hv = parameters
-    b = rng.uniform(max(0.0, 1 - bv), 1 + bv)
-    c = rng.uniform(max(0.0, 1 - cv), 1 + cv)
-    s = rng.uniform(max(0.0, 1 - sv), 1 + sv)
-    hshift = rng.uniform(-hv, hv)
+    (augmentations.py:244)."""
+    b, c, s, hshift = draw_jitter_params(parameters, rng, prob)
     if "rgb" in sample:
         sample["rgb"] = _jitter_image(sample["rgb"], b, c, s, hshift)
     if "rgb_context" in sample:
@@ -169,16 +194,33 @@ def colorjitter_sample(sample: dict, parameters, rng: np.random.Generator,
 
 
 def train_transform(sample: dict, image_shape, jittering, crop_train_borders,
-                    rng: np.random.Generator) -> dict:
+                    rng: np.random.Generator, device_jitter: bool = False,
+                    resize_filter: str = "area") -> dict:
     """Training pipeline: crop -> resize -> duplicate originals -> jitter
-    (reference transforms.py:10-39)."""
+    (reference transforms.py:10-39).
+
+    device_jitter=True is the TPU-native default wiring (config
+    ``datasets.augmentation.device_jitter``): the sample keeps its images
+    UINT8 (no float conversion, no duplication, no host jitter) and carries
+    the drawn factors in sample['jitter'] [4]; the jitted train step casts,
+    duplicates (free on device) and jitters in-graph (ops/jitter.py,
+    engine/train.prepare_train_batch). Besides removing the dominant host
+    cost, this ships 8x fewer bytes to the device. device_jitter=False is
+    the reference-semantics host path (bit-parity oracle for tests).
+    """
     if crop_train_borders:
         borders = parse_crop_borders(crop_train_borders, sample["rgb"].shape[:2])
         sample = crop_sample(sample, borders)
     if image_shape:
-        sample = resize_sample(sample, image_shape)
-    # crop + resize run on uint8 (no full-res float roundtrip); the model
-    # contract (float32 [0,1]) starts here, on the small resized images
+        sample = resize_sample(sample, image_shape, filter=resize_filter)
+    if device_jitter:
+        # no 'jitter' key when jitter is disabled -> the train step skips
+        # the jitter math entirely (trace-time branch)
+        if jittering:
+            sample["jitter"] = draw_jitter_params(jittering, rng)
+        return sample
+    # host path: the model contract (float32 [0,1]) starts here, on the
+    # small resized images (crop + resize ran on uint8)
     sample = ensure_float_sample(sample)
     sample = duplicate_sample(sample)
     if jittering:

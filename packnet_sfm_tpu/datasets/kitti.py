@@ -44,7 +44,7 @@ def load_image_u8(path: str) -> np.ndarray:
     tests/test_native.py). Images stay uint8 through crop/resize and are
     converted to float32 [0, 1] only at the end of the transform (on the
     small resized image) — the full-resolution float roundtrip cost ~40%
-    of the per-sample load time (docs/STATUS.md round-3 input pipeline)."""
+    of the per-sample load time (docs/STATUS.md round-4 input pipeline)."""
     if path.lower().endswith((".jpg", ".jpeg", ".png")):
         from packnet_sfm_tpu.native import decode_image
         arr = decode_image(path)

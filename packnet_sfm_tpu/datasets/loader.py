@@ -17,7 +17,8 @@ from typing import Iterator, Optional, Sequence
 
 import numpy as np
 
-_STACK_KEYS = ("rgb", "rgb_original", "depth", "input_depth", "intrinsics", "pose")
+_STACK_KEYS = ("rgb", "rgb_original", "depth", "input_depth", "intrinsics",
+               "pose", "jitter")
 _LIST_KEYS = ("rgb_context", "rgb_context_original", "pose_context", "depth_context")
 
 
@@ -136,7 +137,7 @@ class DataLoader:
         assembled in plan order on the consumer thread. The old batch-
         granular prefetch serialized each batch's batch_size*3 decodes on
         one thread and capped parallelism at the batch depth (measured 10
-        imgs/s vs the chip's ~40; docs/STATUS.md round-3 input pipeline)."""
+        imgs/s vs the chip's ~40; docs/STATUS.md round-4 input pipeline)."""
         plan = self._batch_plan(epoch)
         nb = len(plan)
 
@@ -178,10 +179,14 @@ def make_transform(mode: str, aug_cfg, seed: int = 42):
     if mode == "train":
         jitter = tuple(aug_cfg.get("jittering", ()) or ())
         crop = tuple(aug_cfg.get("crop_train_borders", ()) or ())
+        device_jitter = bool(aug_cfg.get("device_jitter", True))
+        resize_filter = str(aug_cfg.get("resize_filter", "area"))
 
         def tf(sample, idx=0):
             rng = np.random.default_rng(np.random.SeedSequence([seed, idx]))
-            return train_transform(sample, image_shape, jitter, crop, rng)
+            return train_transform(sample, image_shape, jitter, crop, rng,
+                                   device_jitter=device_jitter,
+                                   resize_filter=resize_filter)
         return tf
     crop = tuple(aug_cfg.get("crop_eval_borders", ()) or ())
 

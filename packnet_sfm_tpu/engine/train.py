@@ -35,12 +35,41 @@ from packnet_sfm_tpu.engine.metrics import (
     post_process_inv_depth,
 )
 from packnet_sfm_tpu.models.sfm import SfmModelDef, model_forward, model_loss
-from packnet_sfm_tpu.ops.fold_conv import force_mode as fold_conv_force_mode
 from packnet_sfm_tpu.parallel.mesh import batch_sharding, replicate_sharding
 
 METRIC_KEYS = ("loss", "photometric_loss", "smoothness_loss",
                "supervised_loss", "supervised_loss_rgbd", "depth_loss",
                "velocity_loss")
+
+
+def _resolve_pack_mode(model: SfmModelDef, mesh: Mesh) -> SfmModelDef:
+    """Pick the pack layers' fold-conv mode for this mesh, statically.
+
+    Under a space-partitioned (2D data x space) mesh the fused path's border
+    corrections are .at[:, :m]/.at[:, -m:] updates that straddle the 'space'
+    shard boundary; the SPMD partitioner turns each into cross-shard
+    dynamic-update-slice + collective pairs, and 21 pack/unpack layers of
+    that blew the multichip dryrun's compile budget (MULTICHIP_r02 rc=124).
+    The two-step path is plain halo-exchanged convs, which partition cheaply.
+
+    Memory tradeoff: two_step re-materializes the [B, H, W, d*Cp] folded
+    activations — the tensor family whose conv-backward temps OOMed batch 4
+    at 192x640 on a single v5e chip. Under a space mesh each shard holds
+    only 1/space of every spatial tensor, which is what buys the headroom
+    back; docs/bench_hr_2dmesh.py validates the full-HR (384x1280) train
+    step on the 8-device 2D mesh, and HR configs should keep remat on.
+
+    The mode is threaded statically into the module tree (clone) rather
+    than via any trace-time global, so direct tracing of the jitted step
+    (e.g. docs/bench_cost_probe.py lowering `jitted` from the closure) and
+    concurrent train/eval tracing both see the right mode.
+    """
+    if dict(getattr(mesh, "shape", {})).get("space", 1) <= 1:
+        return model
+    if not hasattr(model.depth_net, "pack_mode"):
+        return model
+    return dataclasses.replace(
+        model, depth_net=model.depth_net.clone(pack_mode="two_step"))
 
 
 class TrainState(struct.PyTreeNode):
@@ -81,6 +110,47 @@ def _cast_tree(tree, dtype):
         lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
 
 
+def prepare_train_batch(batch: Dict) -> Dict:
+    """In-graph half of the input pipeline: uint8 decode + device jitter.
+
+    When the loader runs in device_jitter mode (the default —
+    datasets/augmentations.train_transform), batches arrive with UINT8
+    images (8x less host->device traffic than f32 + pre-duplicated
+    originals) and a per-sample factor array batch['jitter'] [B, 4]. This
+    casts to f32 [0, 1], duplicates the originals (free: pure aliasing
+    under XLA), and applies the jitter in-graph (ops/jitter.apply_jitter)
+    where it fuses into the input casts. Float sources (e.g. the synthetic
+    dataset) may also carry 'jitter' — then only the cast is skipped. Host-
+    jitter batches (no uint8, no 'jitter' key) pass through untouched.
+    """
+    is_u8 = batch["rgb"].dtype == jnp.uint8
+    if not is_u8 and "jitter" not in batch:
+        return batch
+    batch = dict(batch)
+    inv = jnp.float32(1.0 / 255.0)
+
+    def to_f(x):
+        return x.astype(jnp.float32) * inv if is_u8 else x.astype(jnp.float32)
+
+    rgb = to_f(batch["rgb"])
+    ctx = [to_f(c) for c in batch.get("rgb_context", [])]
+    params = batch.pop("jitter", None)
+    if params is not None:
+        from packnet_sfm_tpu.ops.jitter import apply_jitter
+        batch["rgb"] = apply_jitter(rgb, params)
+        batch["rgb_original"] = rgb
+        if ctx:
+            batch["rgb_context"] = [apply_jitter(c, params) for c in ctx]
+            batch["rgb_context_original"] = ctx
+    else:
+        batch["rgb"] = rgb
+        batch["rgb_original"] = rgb
+        if ctx:
+            batch["rgb_context"] = ctx
+            batch["rgb_context_original"] = ctx
+    return batch
+
+
 def make_train_step(
     model: SfmModelDef,
     tx: optax.GradientTransformation,
@@ -100,11 +170,13 @@ def make_train_step(
     at microbatch activation memory; PackNet's fold-conv backward temps are
     the HBM ceiling at full 192x640 (docs/DESIGN.md).
     """
+    model = _resolve_pack_mode(model, mesh)
 
     def loss_fn(params, state: TrainState, batch, rng, progress):
         variables = {"params": params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
+        batch = prepare_train_batch(batch)
         if compute_dtype != jnp.float32:
             batch = _cast_tree(batch, compute_dtype)
         loss, (metrics, _out, updates) = model_loss(
@@ -176,16 +248,11 @@ def make_train_step(
     # in_shardings/out_shardings: on the axon-tunneled backend that code path
     # executed ~65x slower than the committed-operand path (214ms vs 14s per
     # step, measured) with identical semantics.
-    space_sharded = dict(getattr(mesh, "shape", {})).get("space", 1) > 1
     del mesh
     jitted = jax.jit(step, donate_argnums=(0, 1))
 
     def call(state, acc, batch, progress=0.0):
-        # Under a space-partitioned mesh, trace the pack layers through the
-        # two-step path — the fused border corrections straddle the 'space'
-        # shard boundary and explode SPMD compile time (fold_conv.force_mode).
-        with fold_conv_force_mode("two_step" if space_sharded else None):
-            return jitted(state, acc, batch, jnp.float32(progress))
+        return jitted(state, acc, batch, jnp.float32(progress))
 
     return call
 
@@ -215,6 +282,8 @@ def make_eval_step(
     cross-process reduction (reference utils/reduce.py:31-80).
     """
     from packnet_sfm_tpu.ops.image import flip_lr
+
+    model = _resolve_pack_mode(model, mesh)
 
     def step(state: TrainState, batch):
         variables = state.variables()
@@ -248,12 +317,5 @@ def make_eval_step(
             "inv_depth": inv_depth_pp,
         }
 
-    space_sharded = dict(getattr(mesh, "shape", {})).get("space", 1) > 1
     del mesh  # placement-driven sharding; see make_train_step
-    jitted = jax.jit(step)
-
-    def call(*args, **kwargs):
-        with fold_conv_force_mode("two_step" if space_sharded else None):
-            return jitted(*args, **kwargs)
-
-    return call
+    return jax.jit(step)

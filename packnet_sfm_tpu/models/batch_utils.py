@@ -27,7 +27,11 @@ def stack_multicam_batch(batch: Dict) -> Dict:
 
     out = {}
     for k, v in batch.items():
-        if isinstance(v, np.ndarray) and v.ndim >= 3 and v.shape[:2] == (b, n):
+        if k == "jitter" and isinstance(v, np.ndarray) and v.shape[0] == b:
+            # per-sample device-jitter factors: every camera of a sample
+            # shares its factors (reference jitters per sample, not per cam)
+            out[k] = np.repeat(v, n, axis=0)
+        elif isinstance(v, np.ndarray) and v.ndim >= 3 and v.shape[:2] == (b, n):
             out[k] = fold(v)
         elif isinstance(v, list) and v and isinstance(v[0], np.ndarray) \
                 and v[0].ndim >= 3 and v[0].shape[:2] == (b, n):

@@ -72,17 +72,23 @@ def init_model(model: SfmModelDef, rng: jax.Array, batch: Dict) -> Dict:
     """
     k_depth, k_pose = jax.random.split(rng)
     variables: Dict = {}
+
+    def img(x):
+        # device-jitter loaders ship uint8; init at the model contract dtype
+        return x.astype(jnp.float32) / 255.0 if x.dtype == jnp.uint8 else x
+
+    rgb = img(batch["rgb"])
     extra = {k: batch[k] for k in model.input_keys
              if k not in ("rgb", "intrinsics") and k in batch}
     # jit the inits: un-jitted flax init executes op-by-op, which is very
     # slow on remote/tunneled backends (one dispatch per op).
     dv = jax.jit(partial(model.depth_net.init, train=True))(
-        k_depth, batch["rgb"], **extra)
+        k_depth, rgb, **extra)
     for coll, tree in dv.items():
         variables.setdefault(coll, {})["depth_net"] = tree
     if model.pose_net is not None and "rgb_context" in batch:
         pv = jax.jit(partial(model.pose_net.init, train=True))(
-            k_pose, batch["rgb"], batch["rgb_context"])
+            k_pose, rgb, [img(c) for c in batch["rgb_context"]])
         for coll, tree in pv.items():
             variables.setdefault(coll, {})["pose_net"] = tree
     return variables

@@ -83,13 +83,15 @@ class _FusedPackConvBlock(nn.Module):
     kernel_size: int
     d: int
     dtype: Optional[jnp.dtype] = None
+    mode: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, w3: jnp.ndarray, b3: jnp.ndarray) -> jnp.ndarray:
         cp = x.shape[-1]
         w2, b2 = _Conv2dParams(self.features, self.kernel_size,
                                self.d * cp, name="Conv_0")()
-        y = fused_pack_conv(x, w3, b3, w2, b2, self.dtype or x.dtype)
+        y = fused_pack_conv(x, w3, b3, w2, b2, self.dtype or x.dtype,
+                            mode=self.mode)
         from packnet_sfm_tpu.nn.layers import FastGroupNorm
         y = FastGroupNorm(num_groups=16, epsilon=1e-5, dtype=self.dtype,
                           name="GroupNorm_0")(y)
@@ -114,6 +116,7 @@ class PackLayerConv3d(nn.Module):
     d: int = 8           # number of 3D features
     dtype: Optional[jnp.dtype] = None
     fuse: bool = True
+    mode: str = "auto"   # fused_pack_conv mode: auto | fused | two_step
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -124,7 +127,8 @@ class PackLayerConv3d(nn.Module):
                                name="Conv2dBlock_0")(x)
         w3 = _Conv3dParams(self.d, name="Conv_0")()
         return _FusedPackConvBlock(self.features, self.kernel_size, self.d,
-                                   self.dtype, name="Conv2dBlock_0")(x, *w3)
+                                   self.dtype, self.mode,
+                                   name="Conv2dBlock_0")(x, *w3)
 
 
 class _Conv3dParams(nn.Module):
@@ -175,6 +179,9 @@ class PackNetBase(nn.Module):
     dtype: Optional[jnp.dtype] = None
     remat: bool = False
     fuse: bool = True
+    # fused_pack_conv mode for every pack layer. The engine sets "two_step"
+    # when tracing over a space-partitioned mesh (see engine/train.py).
+    pack_mode: str = "auto"
 
     @nn.compact
     def __call__(self, rgb: jnp.ndarray, *, train: bool = True) -> list:
@@ -212,15 +219,15 @@ class PackNetBase(nn.Module):
 
         # Encoder: conv_i -> pack_i
         x1 = Conv2dBlock(n1, 7, 1, self.dtype, name="conv1")(x)
-        x1p = Pack(n1, pack_kernel[0], d=d, dtype=self.dtype, fuse=self.fuse, name="pack1")(x1)
+        x1p = Pack(n1, pack_kernel[0], d=d, dtype=self.dtype, fuse=self.fuse, mode=self.pack_mode, name="pack1")(x1)
         x2 = ResidualBlock(n2, self.num_blocks[0], 1, self.dropout, self.dtype, name="conv2")(x1p, train=train)
-        x2p = Pack(n2, pack_kernel[1], d=d, dtype=self.dtype, fuse=self.fuse, name="pack2")(x2)
+        x2p = Pack(n2, pack_kernel[1], d=d, dtype=self.dtype, fuse=self.fuse, mode=self.pack_mode, name="pack2")(x2)
         x3 = ResidualBlock(n3, self.num_blocks[1], 1, self.dropout, self.dtype, name="conv3")(x2p, train=train)
-        x3p = Pack(n3, pack_kernel[2], d=d, dtype=self.dtype, fuse=self.fuse, name="pack3")(x3)
+        x3p = Pack(n3, pack_kernel[2], d=d, dtype=self.dtype, fuse=self.fuse, mode=self.pack_mode, name="pack3")(x3)
         x4 = ResidualBlock(n4, self.num_blocks[2], 1, self.dropout, self.dtype, name="conv4")(x3p, train=train)
-        x4p = Pack(n4, pack_kernel[3], d=d, dtype=self.dtype, fuse=self.fuse, name="pack4")(x4)
+        x4p = Pack(n4, pack_kernel[3], d=d, dtype=self.dtype, fuse=self.fuse, mode=self.pack_mode, name="pack4")(x4)
         x5 = ResidualBlock(n5, self.num_blocks[3], 1, self.dropout, self.dtype, name="conv5")(x4p, train=train)
-        x5p = Pack(n5, pack_kernel[4], d=d, dtype=self.dtype, fuse=self.fuse, name="pack5")(x5)
+        x5p = Pack(n5, pack_kernel[4], d=d, dtype=self.dtype, fuse=self.fuse, mode=self.pack_mode, name="pack5")(x5)
 
         skip1, skip2, skip3, skip4, skip5 = x, x1p, x2p, x3p, x4p
 

@@ -32,6 +32,7 @@ class SANEncoder(nn.Module):
     num_blocks: Tuple[int, ...] = (2, 2, 3, 3)
     d: int = 4
     dropout: Optional[float] = None
+    pack_mode: str = "auto"
 
     @nn.compact
     def __call__(self, rgb, *, train: bool = True):
@@ -39,15 +40,15 @@ class SANEncoder(nn.Module):
         pack_kernel = (5, 3, 3, 3, 3)
         x = Conv2dBlock(self.ni, 5, 1, name="pre_calc")(rgb)
         x1 = Conv2dBlock(n1, 7, 1, name="conv1")(x)
-        x1p = PackLayerConv3d(n1, pack_kernel[0], d=self.d, name="pack1")(x1)
+        x1p = PackLayerConv3d(n1, pack_kernel[0], d=self.d, mode=self.pack_mode, name="pack1")(x1)
         x2 = ResidualBlock(n2, self.num_blocks[0], 1, self.dropout, name="conv2")(x1p, train=train)
-        x2p = PackLayerConv3d(n2, pack_kernel[1], d=self.d, name="pack2")(x2)
+        x2p = PackLayerConv3d(n2, pack_kernel[1], d=self.d, mode=self.pack_mode, name="pack2")(x2)
         x3 = ResidualBlock(n3, self.num_blocks[1], 1, self.dropout, name="conv3")(x2p, train=train)
-        x3p = PackLayerConv3d(n3, pack_kernel[2], d=self.d, name="pack3")(x3)
+        x3p = PackLayerConv3d(n3, pack_kernel[2], d=self.d, mode=self.pack_mode, name="pack3")(x3)
         x4 = ResidualBlock(n4, self.num_blocks[2], 1, self.dropout, name="conv4")(x3p, train=train)
-        x4p = PackLayerConv3d(n4, pack_kernel[3], d=self.d, name="pack4")(x4)
+        x4p = PackLayerConv3d(n4, pack_kernel[3], d=self.d, mode=self.pack_mode, name="pack4")(x4)
         x5 = ResidualBlock(n5, self.num_blocks[3], 1, self.dropout, name="conv5")(x4p, train=train)
-        x5p = PackLayerConv3d(n5, pack_kernel[4], d=self.d, name="pack5")(x5)
+        x5p = PackLayerConv3d(n5, pack_kernel[4], d=self.d, mode=self.pack_mode, name="pack5")(x5)
         return x5p, [x, x1p, x2p, x3p, x4p]
 
 
@@ -107,11 +108,13 @@ class PackNetSAN01(nn.Module):
     version: str = "A"
     dropout: Optional[float] = None
     with_uncertainty: bool = False
+    pack_mode: str = "auto"
 
     @nn.compact
     def __call__(self, rgb, input_depth=None, *, train: bool = True):
         channels = (32, 64, 128, 256, 512)
-        encoder = SANEncoder(dropout=self.dropout, name="encoder")
+        encoder = SANEncoder(dropout=self.dropout, pack_mode=self.pack_mode,
+                             name="encoder")
         decoder = SANDecoder(version=self.version, name="decoder")
         sparse_enc = SparseDepthEncoder(
             channels=channels, with_uncertainty=self.with_uncertainty,

@@ -44,34 +44,6 @@ import jax.numpy as jnp
 # time; never set in training/eval runs (test_fold_fusion pins exactness).
 _EXACT_BORDERS = os.environ.get("PN_FOLD_BORDERS", "1") != "0"
 
-# Trace-time mode override for "auto" callers (see force_mode). Set to
-# "two_step" by the engine while tracing steps over a space-partitioned
-# (2D data x space) mesh: the fused path's border corrections are
-# .at[:, :m]/.at[:, -m:] updates that straddle the 'space' shard boundary,
-# and the SPMD partitioner turns each into cross-shard dynamic-update-slice
-# + collective pairs — 21 pack/unpack layers of that made the 2D-mesh
-# compile blow past the driver's dryrun budget (MULTICHIP_r02 rc=124).
-# The two-step path is plain halo-exchanged convs, which partition cheaply.
-_MODE_OVERRIDE: Optional[str] = None
-
-
-class force_mode:
-    """Context manager: override mode="auto" calls while tracing."""
-
-    def __init__(self, mode: Optional[str]):
-        self.mode = mode
-
-    def __enter__(self):
-        global _MODE_OVERRIDE
-        self._prev = _MODE_OVERRIDE
-        if self.mode is not None:
-            _MODE_OVERRIDE = self.mode
-
-    def __exit__(self, *exc):
-        global _MODE_OVERRIDE
-        _MODE_OVERRIDE = self._prev
-
-
 def channel_conv3d(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
                    dtype: Optional[jnp.dtype] = None) -> jnp.ndarray:
     """3x3x3 conv over (channel-as-depth, H, W) emitting the folded layout.
@@ -80,7 +52,7 @@ def channel_conv3d(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
     Returns [B, H, W, d*Cp] with channel index j*Cp + c (j = 3D feature,
     matching the reference fold layers01.py:243-245).
 
-    Two formulations by Cp size (docs/STATUS.md round-3 perf notes):
+    Two formulations by Cp size (docs/STATUS.md round-3/4 perf notes):
 
     - Cp <= 512 (every unpack layer): ONE dense 2D conv with a banded
       [3, 3, Cp, d*Cp] kernel scattered from the 27 w3 taps
@@ -92,13 +64,16 @@ def channel_conv3d(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
       would be ~1.2 GB (f32 [3,3,2048,16384] plus layout copies — OOMs), so
       the 27 channel/spatially-shifted fused multiply-adds accumulate
       directly into the folded layout instead; at pack5's tiny spatial size
-      the VPU pass is cheap.
+      the VPU pass is cheap. (A 512-channel-chunked banded-MXU variant was
+      measured SLOWER — 33 vs 22 ms at b16 — the per-step scatter
+      construction of 4x [3,3,514,4096] kernels dominates when the conv
+      itself has only ~2k output positions; docs/STATUS.md round 4.)
     """
     b, h, w, cp = x.shape
     d = kernel.shape[-1]
     dtype = dtype or x.dtype
+    w3f = kernel[:, :, :, 0, :].astype(jnp.float32)            # [3(z),3,3,d]
     if cp <= 512:
-        w3f = kernel[:, :, :, 0, :].astype(jnp.float32)        # [3(z),3,3,d]
         c = jnp.arange(cp)
         jj = jnp.arange(d)
         out_idx = (jj[:, None] * cp + c[None, :]).reshape(-1)  # [d*cp]
@@ -245,7 +220,10 @@ def fused_pack_conv(x: jnp.ndarray, w3: jnp.ndarray, b3: jnp.ndarray,
 
     mode: "auto" picks fused vs two-step by the measured crossover
     (``_FUSE_MIN_POSITIONS``); "fused" forces the merged-kernel path
-    (tests pin its exactness); "two_step" forces the reference-order path.
+    (tests pin its exactness); "two_step" forces the reference-order path
+    (set statically by the engine for space-partitioned meshes, where the
+    border corrections' cross-shard .at[] updates explode SPMD compile
+    time — see engine/train._resolve_pack_mode for the full tradeoff).
 
     Border treatment: the merged conv differs from the two-step composition
     only through (a) the 1-pixel ring of the intermediate z that the two-step
@@ -264,8 +242,6 @@ def fused_pack_conv(x: jnp.ndarray, w3: jnp.ndarray, b3: jnp.ndarray,
     d = w3.shape[-1]
     cout = w2.shape[-1]
     dtype = dtype or x.dtype
-    if mode == "auto" and _MODE_OVERRIDE is not None:
-        mode = _MODE_OVERRIDE
     if h < 2 * m + 2 or w < 2 * m + 2:
         # image too small for disjoint border regions; two-step is cheap
         return pack_conv_two_step(x, w3, b3, w2, b2, dtype)

@@ -2,17 +2,58 @@
 
 Capability parity with torch ``F.grid_sample(..., mode='bilinear',
 align_corners=True)`` as used by the reference view-synthesis path
-(geometry/camera_utils.py:58). Forward is 4 clipped gathers + lerp; the
-transposed gradient (scatter-add) falls out of JAX autodiff on the gathers.
+(geometry/camera_utils.py:58).
 
-TPU notes: XLA lowers ``take_along_axis`` on a flattened [B, HW, C] image to a
-dynamic-gather that tiles well when C is the minor (lane) dimension — another
-reason the whole framework is channels-last.
+TPU notes: a bilinear tap gather over a C=3 image uses ~2% of the 128-lane
+register a gather row occupies, and four taps mean four gathers — measured
+131 ms fwd+bwd at the flagship loss shapes ([32, 192, 640, 3]), the single
+largest cost of the whole train step (docs/bench_warp_probe.py, round 4).
+The 'zeros' path therefore gathers ONCE from a pre-shifted 12-channel
+padded stack (all four taps in one row, 4x lane utilization, 1/4 the
+rows): 131 -> 96 ms at scale 0 and 35 -> 10 ms at scale 1, bitwise equal.
+The transposed gradient (scatter-add) falls out of JAX autodiff either way.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
+
+
+def _stacked_sample_zeros(image: jnp.ndarray, x, y, wx, wy) -> jnp.ndarray:
+    """One-gather bilinear sample with zero padding (see module docstring).
+
+    The stack is built from the 1px-zero-padded image so the gather index
+    (y0+1, x0+1) is in-range for every tap the torch semantics can touch
+    (x0 = -1 contributes its right tap); taps outside the image are zeroed
+    by the same validity masks as the reference 4-gather formulation.
+    """
+    b, h, w, c = image.shape
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    imgp = jnp.pad(image, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    stack = jnp.concatenate([
+        imgp[:, :-1, :-1], imgp[:, :-1, 1:],
+        imgp[:, 1:, :-1], imgp[:, 1:, 1:]], axis=-1)   # [B, H+1, W+1, 4C]
+    ix = jnp.clip(x0, -1, w - 1).astype(jnp.int32) + 1
+    iy = jnp.clip(y0, -1, h - 1).astype(jnp.int32) + 1
+    flat_idx = (iy * (w + 1) + ix).reshape(b, -1)
+    flat = stack.reshape(b, (h + 1) * (w + 1), 4 * c)
+    g = jnp.take_along_axis(flat, flat_idx[..., None], axis=1)
+    g = g.reshape(b, x.shape[1], x.shape[2], 4, c)
+    vx = ((x0 >= 0) & (x0 <= w - 1))[..., None]
+    vx1 = ((x0 + 1 >= 0) & (x0 + 1 <= w - 1))[..., None]
+    vy = ((y0 >= 0) & (y0 <= h - 1))[..., None]
+    vy1 = ((y0 + 1 >= 0) & (y0 + 1 <= h - 1))[..., None]
+    dt = image.dtype
+    v00 = g[..., 0, :] * (vx & vy).astype(dt)
+    v01 = g[..., 1, :] * (vx1 & vy).astype(dt)
+    v10 = g[..., 2, :] * (vx & vy1).astype(dt)
+    v11 = g[..., 3, :] * (vx1 & vy1).astype(dt)
+    wx = wx[..., None]
+    wy = wy[..., None]
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
 
 
 def grid_sample(
@@ -37,6 +78,9 @@ def grid_sample(
     y0 = jnp.floor(y)
     wx = x - x0
     wy = y - y0
+
+    if padding_mode == "zeros":
+        return _stacked_sample_zeros(image, x, y, wx, wy)
 
     def gather(ix, iy):
         ix_c = jnp.clip(ix, 0, w - 1).astype(jnp.int32)

@@ -92,9 +92,11 @@ class TestKITTI:
             assert np.linalg.norm(T[:3, 3]) < 10.0
 
     def test_train_transform_pipeline(self, kitti_root):
+        """Host-jitter (reference-semantics) train transform path."""
         root, split = kitti_root
         aug = get_default_config().datasets.augmentation
         aug.image_shape = (32, 48)
+        aug.device_jitter = False
         tfm = make_transform("train", aug, seed=1)
         ds = KITTIDataset(str(root), str(split), depth_type="velodyne",
                           back_context=1, forward_context=1, data_transform=tfm)
@@ -107,6 +109,28 @@ class TestKITTI:
         assert not np.allclose(s["rgb"], s["rgb_original"])
         # intrinsics rescaled
         assert s["intrinsics"][0, 0] < 721.0
+
+    def test_train_transform_device_jitter_schema(self, kitti_root):
+        """Default (TPU-native) train transform: uint8 images + per-sample
+        jitter factors; duplication/jitter happen in-graph
+        (engine/train.prepare_train_batch)."""
+        root, split = kitti_root
+        aug = get_default_config().datasets.augmentation
+        aug.image_shape = (32, 48)
+        assert aug.device_jitter  # the documented default
+        tfm = make_transform("train", aug, seed=1)
+        ds = KITTIDataset(str(root), str(split), depth_type="velodyne",
+                          back_context=1, forward_context=1, data_transform=tfm)
+        s = ds[0]
+        assert s["rgb"].dtype == np.uint8 and s["rgb"].shape == (32, 48, 3)
+        assert all(c.dtype == np.uint8 for c in s["rgb_context"])
+        assert "rgb_original" not in s
+        assert s["jitter"].shape == (4,) and s["jitter"].dtype == np.float32
+        # factors drawn from the configured ranges, not identity
+        b, c, sat, h = s["jitter"]
+        assert 0.8 <= b <= 1.2 and 0.8 <= c <= 1.2 and abs(h) <= 0.05
+        # depth untouched by the image path
+        assert s["depth"].dtype == np.float32
 
     def test_transform_deterministic_per_index(self, kitti_root):
         root, split = kitti_root

@@ -88,3 +88,63 @@ def test_threaded_prefetch_matches_serial():
         np.testing.assert_array_equal(ba["rgb"], bb["rgb"])
         for ca, cb in zip(ba.get("rgb_context", []), bb.get("rgb_context", [])):
             np.testing.assert_array_equal(ca, cb)
+
+
+def test_threaded_prefetch_uint8_jitter_path(tmp_path):
+    """The default loader config (8-way sample-granular prefetch) over the
+    REAL on-disk path: uint8 decode -> crop/resize -> ensure_float ->
+    colorjitter. Pins transform determinism and dataset __getitem__ thread
+    safety on the uint8 hot path (ADVICE r3 — the float SyntheticSfmDataset
+    never exercises it)."""
+    import os
+    from PIL import Image
+    from packnet_sfm_tpu.core.config import get_default_config
+    from packnet_sfm_tpu.datasets.kitti import KITTIDataset
+    from packnet_sfm_tpu.datasets.loader import make_transform
+
+    root = tmp_path / "KITTI_raw"
+    date = "2011_09_26"
+    drive = f"{date}_drive_0001_sync"
+    img_dir = root / date / drive / "image_02" / "data"
+    os.makedirs(img_dir)
+    rng = np.random.default_rng(7)
+    for i in range(12):
+        arr = (rng.uniform(size=(48, 64, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(img_dir / f"{i:010d}.png")
+    P = "7.2e+02 0.0 3.2e+01 0.0 0.0 7.2e+02 2.4e+01 0.0 0.0 0.0 1.0 0.0"
+    with open(root / date / "calib_cam_to_cam.txt", "w") as f:
+        f.write(f"P_rect_02: {P}\n")
+    split = root / "split.txt"
+    with open(split, "w") as f:
+        for i in range(12):
+            f.write(f"{date}/{drive}/image_02/data/{i:010d}.png\n")
+
+    aug = get_default_config().datasets.augmentation
+    aug.image_shape = (32, 48)
+    aug.jittering = (0.2, 0.2, 0.2, 0.05)
+    aug.device_jitter = False     # the HOST-jitter path is under test here
+
+    def make_loader(workers):
+        # fresh transform + dataset per loader: any shared mutable RNG
+        # state would otherwise hide a thread-safety bug
+        tfm = make_transform("train", aug, seed=3)
+        ds = KITTIDataset(str(root), str(split), depth_type=None,
+                          back_context=1, forward_context=1,
+                          data_transform=tfm)
+        return DataLoader(ds, batch_size=4, shuffle=True, drop_last=False,
+                          num_workers=workers, process_index=0,
+                          process_count=1)
+
+    a = list(make_loader(1).epoch(2))
+    b = list(make_loader(8).epoch(2))
+    assert len(a) == len(b) and len(a) > 0
+    for ba, bb in zip(a, b):
+        assert ba["rgb"].dtype == np.float32
+        assert ba["rgb"].max() <= 1.0
+        np.testing.assert_array_equal(ba["idx"], bb["idx"])
+        np.testing.assert_array_equal(ba["rgb"], bb["rgb"])
+        np.testing.assert_array_equal(ba["rgb_original"], bb["rgb_original"])
+        for ca, cb in zip(ba["rgb_context"], bb["rgb_context"]):
+            np.testing.assert_array_equal(ca, cb)
+        # jitter actually ran (rgb differs from the un-jittered original)
+        assert not np.allclose(ba["rgb"], ba["rgb_original"])
