@@ -11,11 +11,16 @@ largest cost of the whole train step (docs/bench_warp_probe.py, round 4).
 The 'zeros' path therefore gathers ONCE from a pre-shifted 12-channel
 padded stack (all four taps in one row, 4x lane utilization, 1/4 the
 rows): 131 -> 96 ms at scale 0 and 35 -> 10 ms at scale 1, bitwise equal.
-The transposed gradient (scatter-add) falls out of JAX autodiff either way.
+Measured gather cost is ~29 ms + ~4.6 ms per lane beyond 4 (3.9M rows),
+so the 12 bf16 lanes are additionally BITCAST-PACKED into 6 f32 lanes
+around the gather (bf16 pairs ride f32 lanes; unpack is a free bitcast):
+96 -> 74 ms at scale 0, still bitwise equal. The transposed gradient
+(scatter-add) falls out of JAX autodiff either way.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -37,8 +42,15 @@ def _stacked_sample_zeros(image: jnp.ndarray, x, y, wx, wy) -> jnp.ndarray:
     ix = jnp.clip(x0, -1, w - 1).astype(jnp.int32) + 1
     iy = jnp.clip(y0, -1, h - 1).astype(jnp.int32) + 1
     flat_idx = (iy * (w + 1) + ix).reshape(b, -1)
-    flat = stack.reshape(b, (h + 1) * (w + 1), 4 * c)
-    g = jnp.take_along_axis(flat, flat_idx[..., None], axis=1)
+    if stack.dtype == jnp.bfloat16 and (4 * c) % 2 == 0:
+        # gather bf16 pairs as f32 lanes: same bytes, half the lanes
+        flat = stack.reshape(b, (h + 1) * (w + 1), 2 * c, 2)
+        flat32 = jax.lax.bitcast_convert_type(flat, jnp.float32)
+        g32 = jnp.take_along_axis(flat32, flat_idx[..., None], axis=1)
+        g = jax.lax.bitcast_convert_type(g32, jnp.bfloat16)
+    else:
+        flat = stack.reshape(b, (h + 1) * (w + 1), 4 * c)
+        g = jnp.take_along_axis(flat, flat_idx[..., None], axis=1)
     g = g.reshape(b, x.shape[1], x.shape[2], 4, c)
     vx = ((x0 >= 0) & (x0 <= w - 1))[..., None]
     vx1 = ((x0 + 1 >= 0) & (x0 + 1 <= w - 1))[..., None]

@@ -161,3 +161,24 @@ class TestTorchParity:
             mode="bilinear", padding_mode="border", align_corners=True,
         ).permute(0, 2, 3, 1).numpy()
         np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-5)
+
+    def test_grid_sample_bf16_bitcast_path_exact(self):
+        """The bf16 'zeros' path packs the 12-lane tap stack into f32 lanes
+        around the gather (ops/warp.py); with bf16-exact pixel values and
+        half-integer sample positions every lerp is exactly representable,
+        so the bf16 path must equal the f32 path BITWISE — this pins the
+        bitcast pack/unpack channel ordering."""
+        from packnet_sfm_tpu.ops.warp import grid_sample
+
+        rng = np.random.default_rng(3)
+        h, w = 10, 14
+        # pixel values k/16, exact in bf16; lerps at weights {0, 0.5} stay exact
+        img = (rng.integers(0, 16, size=(2, h, w, 3)) / 16.0).astype(np.float32)
+        xs = rng.integers(-2, 2 * w + 2, size=(2, 6, 9)) / 2.0   # half-integers
+        ys = rng.integers(-2, 2 * h + 2, size=(2, 6, 9)) / 2.0
+        coords = np.stack([2 * xs / (w - 1) - 1, 2 * ys / (h - 1) - 1],
+                          axis=-1).astype(np.float32)
+        ref = np.asarray(grid_sample(jnp.asarray(img), jnp.asarray(coords)))
+        out = np.asarray(grid_sample(jnp.asarray(img, jnp.bfloat16),
+                                     jnp.asarray(coords)).astype(jnp.float32))
+        np.testing.assert_array_equal(out, ref)
