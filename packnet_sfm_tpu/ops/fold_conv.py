@@ -165,40 +165,42 @@ def _merged_kernel(w3: jnp.ndarray, w2: jnp.ndarray, cp: int):
     return kk
 
 
-def _merged_border_kernel(w3_slice: jnp.ndarray, w2_sel: jnp.ndarray, cp: int):
-    """1D merged kernel for one border ring.
+def _merged_border_kernels4(w3_sl: jnp.ndarray, w2_sel: jnp.ndarray, cp: int):
+    """All four border rings' 1D merged kernels in one batched construction.
 
-    w3_slice: [3 (kz), 3 (kt), d] — the w3 plane whose fixed tap produced the
-    ring (kh=2 for the top ring, etc.); kt is the in-ring spatial tap.
-    w2_sel: [n, k2, d*Cp, Cout] — the w2 row (or column) that hits the ring
-    for each of the n border output rows. Returns [n, k2+2, Cp, Cout].
-    Same channel-shift algebra as ``_merged_kernel``, one dimension down.
+    w3_sl: [4, 3 (kz), 3 (kt), d] — per ring, the w3 plane whose fixed tap
+    produced it (kh=2 for top, kh=0 bottom, kx=2 left, kx=0 right); kt is
+    the in-ring spatial tap. w2_sel: [4, m, k2, d*Cp, Cout] — the w2 rows
+    (or columns) that hit each ring for each of the m border output rows.
+    Returns [4, m, k2+2, Cp, Cout]. Same channel-shift algebra as
+    ``_merged_kernel`` one dimension down, with one batched einsum per tap
+    for all four rings — the border fix is op-count-bound, not FLOP-bound
+    (docs/STATUS.md round 4).
     """
-    n, k2 = w2_sel.shape[:2]
-    d = w3_slice.shape[-1]
+    q, n, k2 = w2_sel.shape[:3]
+    d = w3_sl.shape[-1]
     cout = w2_sel.shape[-1]
-    w3s = w3_slice.astype(jnp.float32)
-    w2r = w2_sel.astype(jnp.float32).reshape(n, k2, d, cp, cout)
-    kk = jnp.zeros((n, k2 + 2, cp, cout), jnp.float32)
-    # per-tap loop for the same reason as _merged_kernel: no big intermediate
+    w3s = w3_sl.astype(jnp.float32)
+    w2r = w2_sel.astype(jnp.float32).reshape(q, n, k2, d, cp, cout)
+    kk = jnp.zeros((q, n, k2 + 2, cp, cout), jnp.float32)
     for z in range(3):
-        w2z = _shift_cp(w2r, z)                                # [n,k2,d,cp,cout]
+        w2z = _shift_cp(w2r, z)                           # [4,m,k2,d,cp,cout]
         for kt in range(3):
-            term = jnp.einsum("j,nbjpo->nbpo", w3s[z, kt], w2z)
-            kk = kk.at[:, kt:kt + k2].add(term)
+            term = jnp.einsum("qj,qnbjpo->qnbpo", w3s[:, z, kt], w2z)
+            kk = kk.at[:, :, kt:kt + k2].add(term)
     return kk
 
 
-def _ring_vec(x_px: jnp.ndarray, w3_col: jnp.ndarray, cp: int) -> jnp.ndarray:
-    """Corner ring value z_ext at a diagonal-outside position.
+def _ring_vec4(x_px: jnp.ndarray, w3_col: jnp.ndarray, cp: int) -> jnp.ndarray:
+    """All four corners' ring values in one einsum.
 
-    x_px: [B, Cp] (the corner pixel); w3_col: [3 (kz), d] (the w3 taps with
-    both spatial offsets fixed). Returns [B, d*Cp] folded (j-major).
+    x_px: [4, B, Cp] (the corner pixels); w3_col: [4, 3 (kz), d].
+    Returns [4, B, d*Cp] folded (j-major).
     """
-    xp = jnp.pad(x_px.astype(jnp.float32), ((0, 0), (1, 1)))
-    shifts = jnp.stack([xp[:, kz:kz + cp] for kz in range(3)])   # [3, B, Cp]
-    return jnp.einsum("zj,zbc->bjc", w3_col.astype(jnp.float32),
-                      shifts).reshape(x_px.shape[0], -1)
+    xp = jnp.pad(x_px.astype(jnp.float32), ((0, 0), (0, 0), (1, 1)))
+    shifts = jnp.stack([xp[..., kz:kz + cp] for kz in range(3)])  # [3,4,B,Cp]
+    return jnp.einsum("qzj,zqbc->qbjc", w3_col.astype(jnp.float32),
+                      shifts).reshape(4, x_px.shape[1], -1)
 
 
 # Crossover for the fused-vs-two-step choice (mode="auto"): the merged-kernel
@@ -267,40 +269,43 @@ def fused_pack_conv(x: jnp.ndarray, w3: jnp.ndarray, b3: jnp.ndarray,
     w2f = w2.astype(jnp.float32)
     dn = ("NHWC", "HWIO", "NHWC")
 
-    def conv_row(row, kern):
-        """row [B,1,W,Cp] (or [B,H,1,Cp]); kern [n,k2+2,Cp,Cout] -> Δ."""
-        n = kern.shape[0]
-        horizontal = row.shape[1] == 1
-        k1 = kern.transpose(1, 2, 0, 3).reshape(k2 + 2, cp, n * cout)
-        if horizontal:
-            k1 = k1[None]                                      # [1,k2+2,cp,n*cout]
-            pad = [(0, 0), (m + 1, m + 1)]
-        else:
-            k1 = k1[:, None]                                   # [k2+2,1,cp,n*cout]
-            pad = [(m + 1, m + 1), (0, 0)]
-        out = jax.lax.conv_general_dilated(
-            row.astype(dtype), k1.astype(dtype), (1, 1), pad,
-            dimension_numbers=dn)
-        if horizontal:                    # [B,1,W,n*cout] -> [B,n,W,cout]
-            return out.reshape(b, w, n, cout).transpose(0, 2, 1, 3)
-        return out.reshape(b, h, n, cout)  # [B,H,n,cout] (n = col offset)
-
     i_near = [m - 1 - p for p in range(m)]     # ring hit for rows/cols 0..m-1
     i_far = [m + 1 + t for t in range(m)]      # ... for rows/cols H-1-t/W-1-t
+    i_near_a, i_far_a = jnp.array(i_near), jnp.array(i_far)
 
     # Ring corrections: top/bottom rings (from x row 0 / H-1 via the w3
     # kh=2 / kh=0 planes), left/right (x col 0 / W-1 via kx=2 / kx=0).
-    k_top = _merged_border_kernel(w3f[:, 2], w2f[jnp.array(i_near)], cp)
-    k_bot = _merged_border_kernel(w3f[:, 0], w2f[jnp.array(i_far)], cp)
-    k_left = _merged_border_kernel(
-        w3f[:, :, 2], w2f[:, jnp.array(i_near)].transpose(1, 0, 2, 3), cp)
-    k_right = _merged_border_kernel(
-        w3f[:, :, 0], w2f[:, jnp.array(i_far)].transpose(1, 0, 2, 3), cp)
+    # The fix is op-count-bound (measured 10 ms of pack1's 28 ms at b16,
+    # docs/STATUS.md round 4), so all four ring kernels are built in ONE
+    # batched construction and applied as TWO feature-grouped convs
+    # (top+bottom share the horizontal conv, left+right the vertical).
+    w3_sl = jnp.stack([w3f[:, 2], w3f[:, 0], w3f[:, :, 2], w3f[:, :, 0]])
+    w2_sel = jnp.stack([
+        w2f[i_near_a], w2f[i_far_a],
+        w2f[:, i_near_a].transpose(1, 0, 2, 3),
+        w2f[:, i_far_a].transpose(1, 0, 2, 3)])        # [4,m,k2,dCp,cout]
+    kk4 = _merged_border_kernels4(w3_sl, w2_sel, cp)   # [4,m,k2+2,cp,cout]
 
-    d_top = conv_row(x[:, :1], k_top)                          # [B,m,W,cout]
-    d_bot = conv_row(x[:, -1:], k_bot)[:, ::-1]                # t -> row H-1-t
-    d_left = conv_row(x[:, :, :1], k_left)                     # [B,H,m,cout]
-    d_right = conv_row(x[:, :, -1:], k_right)[:, :, ::-1]
+    def _k1(kern):                     # [m,k2+2,cp,cout] -> [k2+2,cp,m*cout]
+        return kern.transpose(1, 2, 0, 3).reshape(k2 + 2, cp, m * cout)
+
+    x_h = jnp.concatenate([x[:, :1], x[:, -1:]], axis=-1)      # [B,1,W,2Cp]
+    k_h = jnp.concatenate([_k1(kk4[0]), _k1(kk4[1])], axis=-1)[None]
+    out_h = jax.lax.conv_general_dilated(
+        x_h.astype(dtype), k_h.astype(dtype), (1, 1),
+        [(0, 0), (m + 1, m + 1)], dimension_numbers=dn,
+        feature_group_count=2).reshape(b, w, 2, m, cout)
+    d_top = out_h[:, :, 0].transpose(0, 2, 1, 3)               # [B,m,W,cout]
+    d_bot = out_h[:, :, 1].transpose(0, 2, 1, 3)[:, ::-1]      # t -> row H-1-t
+
+    x_v = jnp.concatenate([x[:, :, :1], x[:, :, -1:]], axis=-1)  # [B,H,1,2Cp]
+    k_v = jnp.concatenate([_k1(kk4[2]), _k1(kk4[3])], axis=-1)[:, None]
+    out_v = jax.lax.conv_general_dilated(
+        x_v.astype(dtype), k_v.astype(dtype), (1, 1),
+        [(m + 1, m + 1), (0, 0)], dimension_numbers=dn,
+        feature_group_count=2).reshape(b, h, 2, m, cout)
+    d_left = out_v[:, :, 0]                                    # [B,H,m,cout]
+    d_right = out_v[:, :, 1][:, :, ::-1]
 
     y = y.at[:, :m].add(-d_top)
     y = y.at[:, -m:].add(-d_bot)
@@ -308,26 +313,18 @@ def fused_pack_conv(x: jnp.ndarray, w3: jnp.ndarray, b3: jnp.ndarray,
     y = y.at[:, :, -m:].add(-d_right)
 
     # Corner ring values were subtracted by both their row and their column
-    # correction — add each back once. Each is a single (a, b) tap pair.
-    corners = (
-        ((slice(None, m), slice(None, m)), x[:, 0, 0], w3f[:, 2, 2],
-         i_near, i_near, False, False),
-        ((slice(None, m), slice(-m, None)), x[:, 0, -1], w3f[:, 2, 0],
-         i_near, i_far, False, True),
-        ((slice(-m, None), slice(None, m)), x[:, -1, 0], w3f[:, 0, 2],
-         i_far, i_near, True, False),
-        ((slice(-m, None), slice(-m, None)), x[:, -1, -1], w3f[:, 0, 0],
-         i_far, i_far, True, True),
-    )
-    for (rs, cs), px, w3c, rows, cols, flip_r, flip_c in corners:
-        vec = _ring_vec(px, w3c, cp)                           # [B, d*Cp]
-        sel = w2f[jnp.array(rows)][:, jnp.array(cols)]         # [m,m,dCp,cout]
-        delta = jnp.einsum("pqco,bc->bpqo", sel, vec)
-        if flip_r:
-            delta = delta[:, ::-1]
-        if flip_c:
-            delta = delta[:, :, ::-1]
-        y = y.at[:, rs, cs].add(delta.astype(dtype))
+    # correction — add each back once, all four corners in one einsum pair.
+    px4 = jnp.stack([x[:, 0, 0], x[:, 0, -1], x[:, -1, 0], x[:, -1, -1]])
+    w3c4 = jnp.stack([w3f[:, 2, 2], w3f[:, 2, 0], w3f[:, 0, 2], w3f[:, 0, 0]])
+    vec4 = _ring_vec4(px4, w3c4, cp)                           # [4,B,dCp]
+    sel4 = jnp.stack([
+        w2f[i_near_a][:, i_near_a], w2f[i_near_a][:, i_far_a],
+        w2f[i_far_a][:, i_near_a], w2f[i_far_a][:, i_far_a]])  # [4,m,m,dCp,cout]
+    delta4 = jnp.einsum("qstco,qbc->qbsto", sel4, vec4).astype(dtype)
+    y = y.at[:, :m, :m].add(delta4[0])
+    y = y.at[:, :m, -m:].add(delta4[1][:, :, ::-1])
+    y = y.at[:, -m:, :m].add(delta4[2][:, ::-1])
+    y = y.at[:, -m:, -m:].add(delta4[3][:, ::-1, ::-1])
 
     # Bias correction: b_eff assumed the 3D-conv bias at every z tap, but the
     # two-step path has bias only inside the image. Subtract the taps whose z
