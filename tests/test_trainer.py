@@ -152,6 +152,39 @@ class TestPreemption:
         assert t2.current_epoch == 1
 
 
+def test_run_name_feeds_checkpoint_path(tmp_path, monkeypatch):
+    """The wandb-assigned run name is adopted into config.name/wandb and the
+    checkpoint directory (reference prep_logger_and_checkpoint,
+    utils/config.py:107-134)."""
+    from packnet_sfm_tpu.engine.trainer import Trainer
+
+    class FakeWandbLogger:
+        def __init__(self, **kwargs):
+            self.configs = []
+
+        run_name = "brisk-fog-7"
+        run_url = "https://wandb.test/run/brisk-fog-7"
+
+        def log_config(self, config):
+            self.configs.append(config)
+
+    monkeypatch.setattr("packnet_sfm_tpu.utils.wandb_logger.WandbLogger",
+                        FakeWandbLogger)
+    cfg = synthetic_config(tmp_path, max_epochs=1)
+    cfg.wandb.dry_run = False
+    t = Trainer(cfg)
+
+    assert cfg.name == "brisk-fog-7"
+    assert cfg.wandb.name == "brisk-fog-7"
+    assert cfg.wandb.url == FakeWandbLogger.run_url
+    expect_dir = os.path.join(str(tmp_path / "ckpts"), "brisk-fog-7")
+    assert cfg.checkpoint.filepath == expect_dir
+    assert t.checkpoint is not None and t.checkpoint.dirpath == expect_dir
+    # the rewritten config was re-logged to the run
+    assert t.logger.configs and \
+        t.logger.configs[-1]["checkpoint"]["filepath"] == expect_dir
+
+
 def test_checkpoint_code_tarball(tmp_path):
     """S3-synced runs carry a one-time source snapshot (reference
     model_checkpoint.py:78-92 save_code)."""
