@@ -104,6 +104,10 @@ def main():
     b = jax.jit(lambda x: channel_conv3d_depthwise(x, w3, b3, DT))(x)
     err = float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
     print(f"max |fma - depthwise| = {err:.3e} (bf16)")
+    # Guard (ADVICE r4): a mathematically mismatched reformulation must not
+    # produce timings that feed STATUS.md conclusions. Magnitudes here are
+    # O(1)-O(10) in bf16 (8-bit mantissa), so 1e-1 absolute is the right bar.
+    assert err < 1e-1, f"fma vs depthwise mismatch {err:.3e} — not comparable"
 
     timeit("channel_conv3d (27-FMA)", lambda x: channel_conv3d(x, w3, b3, DT), x)
     timeit("channel_conv3d (depthwise)",
@@ -117,6 +121,7 @@ def main():
     m = jax.jit(lambda x: conv2d_same_matmul(x, w2, b2, DT))(a)
     err2 = float(jnp.max(jnp.abs(c.astype(jnp.float32) - m.astype(jnp.float32))))
     print(f"max |conv - matmul| = {err2:.3e} (bf16)")
+    assert err2 < 1e-1, f"conv vs matmul mismatch {err2:.3e} — not comparable"
     timeit("w2 conv alone (XLA conv)", lambda z: conv2d_same(z, w2, b2, DT), a)
     timeit("w2 conv alone (9 matmuls)",
            lambda z: conv2d_same_matmul(z, w2, b2, DT), a)
