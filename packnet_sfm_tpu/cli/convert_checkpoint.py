@@ -68,6 +68,10 @@ def convert(input_path: str, output_path: str) -> str:
 
     ckpt = torch.load(input_path, map_location="cpu", weights_only=False)
     sd = ti.state_dict_to_numpy(ckpt["state_dict"])
+    if input_path.endswith(".pth.tar"):
+        # Older published model family (reference utils/load.py:136-137):
+        # legacy disp_network/pose_network naming -> current model.* naming.
+        sd = ti.legacy_state_dict(sd)
 
     # Recover config: reference ckpts embed a yacs CfgNode; fall back to
     # name-sniffing if absent.

@@ -36,10 +36,42 @@ def _set(tree: Dict, path: Tuple[str, ...], leaf_name: str, value: np.ndarray):
 
 
 def state_dict_to_numpy(state_dict: Mapping) -> Dict[str, np.ndarray]:
-    """Detach a torch state_dict into numpy (host-side, no device copies)."""
+    """Detach a torch state_dict into numpy.
+
+    COPIES: ``.numpy()`` alone returns a view of the live tensor storage, so
+    a torch optimizer stepping in place would silently mutate the "converted"
+    weights (this bit the lockstep-parity harness). Conversion is offline;
+    one extra copy is cheap insurance.
+    """
     out = {}
     for k, v in state_dict.items():
-        out[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        arr = v.detach().cpu().numpy() if hasattr(v, "detach") else v
+        out[k] = np.array(arr, copy=True)
+    return out
+
+
+def legacy_state_dict(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Rename keys of an old published ``.pth.tar`` state dict to the current
+    reference naming, so the rest of the conversion pipeline applies.
+
+    Capability parity with reference ``backwards_state_dict``
+    (utils/load.py:166-198): the legacy generation named the nets
+    ``disp_network`` / ``pose_network`` (without the ``model.`` wrapper) and
+    wrapped the packnet residual-shortcut conv in a Sequential
+    (``conv3.0.*``). Current naming is ``model.depth_net.*`` /
+    ``model.pose_net.*`` with a bare ``conv3``.
+    """
+    out: Dict[str, np.ndarray] = {}
+    for key, val in sd.items():
+        key = f"model.{key}"
+        if "disp_network" in key:
+            key = key.replace("conv3.0.weight", "conv3.weight")
+            key = key.replace("conv3.0.bias", "conv3.bias")
+        for old, new in (("model.model.", "model."),
+                         ("pose_network.", "pose_net."),
+                         ("disp_network.", "depth_net.")):
+            key = key.replace(old, new)
+        out[key] = val
     return out
 
 

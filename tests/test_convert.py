@@ -65,3 +65,55 @@ def test_reference_ckpt_roundtrip(tmp_path, nets):
     np.testing.assert_allclose(
         np.asarray(out["inv_depths"][0]),
         theirs.numpy().transpose(0, 2, 3, 1), atol=5e-5)
+
+
+def test_legacy_pth_tar_roundtrip(tmp_path):
+    """Older published ``.pth.tar`` models use legacy net names
+    (``disp_network``/``pose_network``, Sequential-wrapped shortcut convs —
+    reference utils/load.py:166-198). Fabricate one and verify the converter
+    lands the same weights as a current-named .ckpt."""
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, "/root/reference")
+    try:
+        from packnet_sfm.networks.depth.PackNet01 import PackNet01 as RefPackNet
+        from packnet_sfm.networks.pose.PoseNet import PoseNet as RefPoseNet
+    finally:
+        sys.path.remove("/root/reference")
+
+    depth = RefPackNet(version="1A")
+    pose = RefPoseNet(nb_ref_imgs=2)
+    legacy = {}
+    for k, v in depth.state_dict().items():
+        # Invert the backwards rename: bare conv3 -> Sequential conv3.0
+        lk = k.replace("conv3.weight", "conv3.0.weight") \
+              .replace("conv3.bias", "conv3.0.bias")
+        legacy[f"disp_network.{lk}"] = v
+    for k, v in pose.state_dict().items():
+        legacy[f"pose_network.{k}"] = v
+
+    ckpt_path = str(tmp_path / "legacy.pth.tar")
+    torch.save({
+        "config": {"model": {"name": "SelfSupModel",
+                             "depth_net": {"name": "PackNet01", "version": "1A"},
+                             "pose_net": {"name": "PoseNet", "version": ""}},
+                   "datasets": {"augmentation": {"image_shape": (64, 96)}}},
+        "state_dict": legacy,
+    }, ckpt_path)
+
+    from packnet_sfm_tpu.cli.convert_checkpoint import convert
+    out_dir = str(tmp_path / "converted_legacy.ckpt")
+    convert(ckpt_path, out_dir)
+
+    from packnet_sfm_tpu.engine.checkpoint import restore_checkpoint
+    from packnet_sfm_tpu.utils import torch_import as ti
+    state = restore_checkpoint(out_dir)[0]
+
+    want_depth = ti.packnet_from_torch(ti.state_dict_to_numpy(depth.state_dict()))
+    want_pose = ti.posenet_from_torch(ti.state_dict_to_numpy(pose.state_dict()))
+    got = state["params"]
+    for want, net in ((want_depth, "depth_net"), (want_pose, "pose_net")):
+        flat_want = ti._flatten_tree(want)
+        flat_got = ti._flatten_tree(jax.tree_util.tree_map(np.asarray, got[net]))
+        assert set(flat_want) == set(flat_got)
+        for k in flat_want:
+            np.testing.assert_array_equal(flat_want[k], flat_got[k])
