@@ -137,32 +137,47 @@ def _shift_cp(t: jnp.ndarray, z: int) -> jnp.ndarray:
     return t
 
 
+def _placement(k2: int) -> jnp.ndarray:
+    """One-hot P[h, u, a] = [u == h + a], h in 0..2, a in 0..k2-1.
+
+    Turns the "accumulate tap (h, x) at kernel offset (h+a, x+b)" scatter
+    into a pair of tiny matmul contractions — one einsum instead of 9
+    dynamic-update-slices (the construction is op-count-bound, not
+    FLOP-bound: docs/bench_fold_construct_probe.py).
+    """
+    h = jnp.arange(3)[:, None, None]
+    u = jnp.arange(k2 + 2)[None, :, None]
+    a = jnp.arange(k2)[None, None, :]
+    return (u == h + a).astype(jnp.float32)
+
+
+def _shift_cp3(t: jnp.ndarray) -> jnp.ndarray:
+    """Stack the three z-shifted copies of ``t`` along a new leading axis."""
+    return jnp.stack([_shift_cp(t, z) for z in range(3)])
+
+
 def _merged_kernel(w3: jnp.ndarray, w2: jnp.ndarray, cp: int):
     """Collapse conv3d∘fold∘conv2d into one (k+2)x(k+2)xCpxCout kernel (f32).
 
     Valid in the interior (all intermediate taps in-image); see module
     docstring for the border treatment.
 
-    Built as 27 small per-tap einsums accumulated in place: a single
-    ``einsum('zhxj,abjpo->zhxabpo')`` materializes a
-    [3,3,3,k,k,Cp,Cout] intermediate — ~1 GB f32 for the pack5 layer
-    (Cp=2048, Cout=512) — which made pack5 alone cost 50 ms of the train
-    step (docs/STATUS.md round-3 perf notes). The loop keeps the largest
-    live tensor at [k,k,Cp,Cout].
+    Two einsums: contract (z, j) first — the [3,3,k,k,Cp,Cout] intermediate
+    is ~15-45 MB for pack1-4 (pack5's Cp=2048 would be ~0.5 GB, but it takes
+    the two-step path) — then place the 3x3 tap grid at its (h+a, x+b)
+    offsets with the one-hot ``_placement`` contraction. This replaced 27
+    per-tap einsums + 27 scatter-adds that cost ~3-4.4 ms per layer per
+    step (op-count-bound; docs/bench_fold_construct_probe.py).
     """
     k2 = w2.shape[0]
     d = w3.shape[-1]
     cout = w2.shape[-1]
     w3f = w3[:, :, :, 0, :].astype(jnp.float32)                 # [3,3,3,d]
     w2f = w2.astype(jnp.float32).reshape(k2, k2, d, cp, cout)   # j major fold
-    kk = jnp.zeros((k2 + 2, k2 + 2, cp, cout), jnp.float32)
-    for z in range(3):
-        w2z = _shift_cp(w2f, z)                                 # [k,k,d,cp,cout]
-        for hh in range(3):
-            for xx in range(3):
-                term = jnp.einsum("j,abjpo->abpo", w3f[z, hh, xx], w2z)
-                kk = kk.at[hh:hh + k2, xx:xx + k2].add(term)
-    return kk
+    w2z = _shift_cp3(w2f)                                       # [3,k,k,d,cp,cout]
+    tap = jnp.einsum("zhxj,zabjpo->hxabpo", w3f, w2z)
+    p = _placement(k2)
+    return jnp.einsum("hua,xvb,hxabpo->uvpo", p, p, tap)
 
 
 def _merged_border_kernels4(w3_sl: jnp.ndarray, w2_sel: jnp.ndarray, cp: int):
@@ -182,13 +197,9 @@ def _merged_border_kernels4(w3_sl: jnp.ndarray, w2_sel: jnp.ndarray, cp: int):
     cout = w2_sel.shape[-1]
     w3s = w3_sl.astype(jnp.float32)
     w2r = w2_sel.astype(jnp.float32).reshape(q, n, k2, d, cp, cout)
-    kk = jnp.zeros((q, n, k2 + 2, cp, cout), jnp.float32)
-    for z in range(3):
-        w2z = _shift_cp(w2r, z)                           # [4,m,k2,d,cp,cout]
-        for kt in range(3):
-            term = jnp.einsum("qj,qnbjpo->qnbpo", w3s[:, z, kt], w2z)
-            kk = kk.at[:, :, kt:kt + k2].add(term)
-    return kk
+    w2z = _shift_cp3(w2r)                                # [3,4,m,k2,d,cp,cout]
+    tap = jnp.einsum("qzkj,zqnbjpo->qknbpo", w3s, w2z)
+    return jnp.einsum("kub,qknbpo->qnupo", _placement(k2), tap)
 
 
 def _ring_vec4(x_px: jnp.ndarray, w3_col: jnp.ndarray, cp: int) -> jnp.ndarray:
@@ -209,6 +220,138 @@ def _ring_vec4(x_px: jnp.ndarray, w3_col: jnp.ndarray, cp: int) -> jnp.ndarray:
 # round-3 perf notes): pack5 (960 positions) fused 37.4 ms vs two-step
 # 10.5 ms; pack4 (3840 positions) fused 8.1 ms vs two-step 13.9 ms.
 _FUSE_MIN_POSITIONS = 2048
+
+
+def build_fused_kernels(w3: jnp.ndarray, b3: jnp.ndarray, w2: jnp.ndarray,
+                        b2: jnp.ndarray, cp: int) -> dict:
+    """Construct every weight-only tensor the fused pack conv needs.
+
+    Split from the application so the construction can be (a) timed on its
+    own (docs/bench_fold_construct_probe.py) and (b) hoisted out of
+    grad-accum microbatch scans, where it is loop-invariant. Returns a plain
+    dict pytree; gradients flow through it to w3/w2/b3/b2 as before.
+    """
+    k2 = w2.shape[0]
+    m = k2 // 2
+    d = w3.shape[-1]
+    cout = w2.shape[-1]
+
+    kk = _merged_kernel(w3, w2, cp)
+    # 3D-conv bias reaches every interior output through all k2*k2 taps
+    w2r = w2.astype(jnp.float32).reshape(k2, k2, d, cp, cout)
+    b3f = b3.astype(jnp.float32)
+    b_eff = b2.astype(jnp.float32) + jnp.einsum("abjpo,j->o", w2r, b3f)
+    out = {"kk": kk, "b_eff": b_eff}
+    if not _EXACT_BORDERS:
+        return out
+
+    w3f = w3[:, :, :, 0, :]                                    # [kz, kh, kx, d]
+    w2f = w2.astype(jnp.float32)
+
+    i_near = [m - 1 - p for p in range(m)]     # ring hit for rows/cols 0..m-1
+    i_far = [m + 1 + t for t in range(m)]      # ... for rows/cols H-1-t/W-1-t
+    i_near_a, i_far_a = jnp.array(i_near), jnp.array(i_far)
+
+    # Ring corrections: top/bottom rings (from x row 0 / H-1 via the w3
+    # kh=2 / kh=0 planes), left/right (x col 0 / W-1 via kx=2 / kx=0).
+    # The fix is op-count-bound (measured 10 ms of pack1's 28 ms at b16,
+    # docs/STATUS.md round 4), so all four ring kernels are built in ONE
+    # batched construction and applied as TWO feature-grouped convs
+    # (top+bottom share the horizontal conv, left+right the vertical).
+    w3_sl = jnp.stack([w3f[:, 2], w3f[:, 0], w3f[:, :, 2], w3f[:, :, 0]])
+    w2_sel = jnp.stack([
+        w2f[i_near_a], w2f[i_far_a],
+        w2f[:, i_near_a].transpose(1, 0, 2, 3),
+        w2f[:, i_far_a].transpose(1, 0, 2, 3)])        # [4,m,k2,dCp,cout]
+    kk4 = _merged_border_kernels4(w3_sl, w2_sel, cp)   # [4,m,k2+2,cp,cout]
+
+    def _k1(kern):                     # [m,k2+2,cp,cout] -> [k2+2,cp,m*cout]
+        return kern.transpose(1, 2, 0, 3).reshape(k2 + 2, cp, m * cout)
+
+    out["k_h"] = jnp.concatenate([_k1(kk4[0]), _k1(kk4[1])], axis=-1)[None]
+    out["k_v"] = jnp.concatenate([_k1(kk4[2]), _k1(kk4[3])], axis=-1)[:, None]
+
+    # Corner pieces (see apply: corner ring values subtracted twice).
+    out["w3c4"] = jnp.stack(
+        [w3f[:, 2, 2], w3f[:, 2, 0], w3f[:, 0, 2], w3f[:, 0, 0]])
+    out["sel4"] = jnp.stack([
+        w2f[i_near_a][:, i_near_a], w2f[i_near_a][:, i_far_a],
+        w2f[i_far_a][:, i_near_a], w2f[i_far_a][:, i_far_a]])  # [4,m,m,dCp,cout]
+
+    # Bias correction: b_eff assumed the 3D-conv bias at every z tap, but the
+    # two-step path has bias only inside the image. Subtract the taps whose z
+    # position is outside (inclusion-exclusion for the corners).
+    w2b = jnp.einsum("abjpo,j->abo", w2r, b3f)                 # [k2,k2,cout]
+    rowsum, colsum = w2b.sum(1), w2b.sum(0)
+    out["bias_top"] = jnp.stack([rowsum[: m - p].sum(0) for p in range(m)])
+    out["bias_bot"] = jnp.stack([rowsum[m + 1 + t:].sum(0) for t in range(m)])
+    out["bias_left"] = jnp.stack([colsum[: m - q].sum(0) for q in range(m)])
+    out["bias_right"] = jnp.stack([colsum[m + 1 + u:].sum(0) for u in range(m)])
+    out["bc_tl"] = jnp.stack([jnp.stack([w2b[: m - p, : m - q].sum((0, 1))
+                                         for q in range(m)]) for p in range(m)])
+    out["bc_tr"] = jnp.stack([jnp.stack([w2b[: m - p, m + 1 + u:].sum((0, 1))
+                                         for u in range(m)]) for p in range(m)])
+    out["bc_bl"] = jnp.stack([jnp.stack([w2b[m + 1 + t:, : m - q].sum((0, 1))
+                                         for q in range(m)]) for t in range(m)])
+    out["bc_br"] = jnp.stack([jnp.stack([w2b[m + 1 + t:, m + 1 + u:].sum((0, 1))
+                                         for u in range(m)]) for t in range(m)])
+    return out
+
+
+def apply_fused_kernels(x: jnp.ndarray, kn: dict, k2: int, cout: int,
+                        dtype: jnp.dtype) -> jnp.ndarray:
+    """Apply pre-built fused kernels (``build_fused_kernels``) to a batch."""
+    b, h, w, cp = x.shape
+    m = k2 // 2
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), kn["kk"].astype(dtype), (1, 1),
+        [(m + 1, m + 1), (m + 1, m + 1)], dimension_numbers=dn)
+    y = y + kn["b_eff"].astype(dtype)
+    if not _EXACT_BORDERS:
+        return y
+
+    x_h = jnp.concatenate([x[:, :1], x[:, -1:]], axis=-1)      # [B,1,W,2Cp]
+    out_h = jax.lax.conv_general_dilated(
+        x_h.astype(dtype), kn["k_h"].astype(dtype), (1, 1),
+        [(0, 0), (m + 1, m + 1)], dimension_numbers=dn,
+        feature_group_count=2).reshape(b, w, 2, m, cout)
+    d_top = out_h[:, :, 0].transpose(0, 2, 1, 3)               # [B,m,W,cout]
+    d_bot = out_h[:, :, 1].transpose(0, 2, 1, 3)[:, ::-1]      # t -> row H-1-t
+
+    x_v = jnp.concatenate([x[:, :, :1], x[:, :, -1:]], axis=-1)  # [B,H,1,2Cp]
+    out_v = jax.lax.conv_general_dilated(
+        x_v.astype(dtype), kn["k_v"].astype(dtype), (1, 1),
+        [(m + 1, m + 1), (0, 0)], dimension_numbers=dn,
+        feature_group_count=2).reshape(b, h, 2, m, cout)
+    d_left = out_v[:, :, 0]                                    # [B,H,m,cout]
+    d_right = out_v[:, :, 1][:, :, ::-1]
+
+    y = y.at[:, :m].add(-d_top)
+    y = y.at[:, -m:].add(-d_bot)
+    y = y.at[:, :, :m].add(-d_left)
+    y = y.at[:, :, -m:].add(-d_right)
+
+    # Corner ring values were subtracted by both their row and their column
+    # correction — add each back once, all four corners in one einsum pair.
+    px4 = jnp.stack([x[:, 0, 0], x[:, 0, -1], x[:, -1, 0], x[:, -1, -1]])
+    vec4 = _ring_vec4(px4, kn["w3c4"], cp)                     # [4,B,dCp]
+    delta4 = jnp.einsum("qstco,qbc->qbsto", kn["sel4"], vec4).astype(dtype)
+    y = y.at[:, :m, :m].add(delta4[0])
+    y = y.at[:, :m, -m:].add(delta4[1][:, :, ::-1])
+    y = y.at[:, -m:, :m].add(delta4[2][:, ::-1])
+    y = y.at[:, -m:, -m:].add(delta4[3][:, ::-1, ::-1])
+
+    y = y.at[:, :m].add(-kn["bias_top"][None, :, None].astype(dtype))
+    y = y.at[:, -m:].add(-kn["bias_bot"][None, ::-1, None].astype(dtype))
+    y = y.at[:, :, :m].add(-kn["bias_left"][None, None].astype(dtype))
+    y = y.at[:, :, -m:].add(-kn["bias_right"][None, None, ::-1].astype(dtype))
+    y = y.at[:, :m, :m].add(kn["bc_tl"][None].astype(dtype))
+    y = y.at[:, :m, -m:].add(kn["bc_tr"][None, :, ::-1].astype(dtype))
+    y = y.at[:, -m:, :m].add(kn["bc_bl"][None, ::-1].astype(dtype))
+    y = y.at[:, -m:, -m:].add(kn["bc_br"][None, ::-1, ::-1].astype(dtype))
+    return y
 
 
 def fused_pack_conv(x: jnp.ndarray, w3: jnp.ndarray, b3: jnp.ndarray,
@@ -237,11 +380,14 @@ def fused_pack_conv(x: jnp.ndarray, w3: jnp.ndarray, b3: jnp.ndarray,
     a per-border-offset constant. This replaced a two-step strip recompute
     that cost ~30% of the whole train step (40 awkward thin-slab convs per
     network fwd; docs/STATUS.md round-3 perf notes).
+
+    Implementation is split into ``build_fused_kernels`` (weight-only) +
+    ``apply_fused_kernels`` (batch-dependent) so the construction can be
+    timed and hoisted where it is loop-invariant.
     """
     b, h, w, cp = x.shape
     k2 = w2.shape[0]
     m = k2 // 2
-    d = w3.shape[-1]
     cout = w2.shape[-1]
     dtype = dtype or x.dtype
     if h < 2 * m + 2 or w < 2 * m + 2:
@@ -252,103 +398,5 @@ def fused_pack_conv(x: jnp.ndarray, w3: jnp.ndarray, b3: jnp.ndarray,
         # kernel construction costs more than the conv it saves
         return pack_conv_two_step(x, w3, b3, w2, b2, dtype)
 
-    kk = _merged_kernel(w3, w2, cp)
-    # 3D-conv bias reaches every interior output through all k2*k2 taps
-    w2r = w2.astype(jnp.float32).reshape(k2, k2, d, cp, cout)
-    b3f = b3.astype(jnp.float32)
-    b_eff = b2.astype(jnp.float32) + jnp.einsum("abjpo,j->o", w2r, b3f)
-    y = jax.lax.conv_general_dilated(
-        x.astype(dtype), kk.astype(dtype), (1, 1),
-        [(m + 1, m + 1), (m + 1, m + 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    y = y + b_eff.astype(dtype)
-    if not _EXACT_BORDERS:
-        return y
-
-    w3f = w3[:, :, :, 0, :]                                    # [kz, kh, kx, d]
-    w2f = w2.astype(jnp.float32)
-    dn = ("NHWC", "HWIO", "NHWC")
-
-    i_near = [m - 1 - p for p in range(m)]     # ring hit for rows/cols 0..m-1
-    i_far = [m + 1 + t for t in range(m)]      # ... for rows/cols H-1-t/W-1-t
-    i_near_a, i_far_a = jnp.array(i_near), jnp.array(i_far)
-
-    # Ring corrections: top/bottom rings (from x row 0 / H-1 via the w3
-    # kh=2 / kh=0 planes), left/right (x col 0 / W-1 via kx=2 / kx=0).
-    # The fix is op-count-bound (measured 10 ms of pack1's 28 ms at b16,
-    # docs/STATUS.md round 4), so all four ring kernels are built in ONE
-    # batched construction and applied as TWO feature-grouped convs
-    # (top+bottom share the horizontal conv, left+right the vertical).
-    w3_sl = jnp.stack([w3f[:, 2], w3f[:, 0], w3f[:, :, 2], w3f[:, :, 0]])
-    w2_sel = jnp.stack([
-        w2f[i_near_a], w2f[i_far_a],
-        w2f[:, i_near_a].transpose(1, 0, 2, 3),
-        w2f[:, i_far_a].transpose(1, 0, 2, 3)])        # [4,m,k2,dCp,cout]
-    kk4 = _merged_border_kernels4(w3_sl, w2_sel, cp)   # [4,m,k2+2,cp,cout]
-
-    def _k1(kern):                     # [m,k2+2,cp,cout] -> [k2+2,cp,m*cout]
-        return kern.transpose(1, 2, 0, 3).reshape(k2 + 2, cp, m * cout)
-
-    x_h = jnp.concatenate([x[:, :1], x[:, -1:]], axis=-1)      # [B,1,W,2Cp]
-    k_h = jnp.concatenate([_k1(kk4[0]), _k1(kk4[1])], axis=-1)[None]
-    out_h = jax.lax.conv_general_dilated(
-        x_h.astype(dtype), k_h.astype(dtype), (1, 1),
-        [(0, 0), (m + 1, m + 1)], dimension_numbers=dn,
-        feature_group_count=2).reshape(b, w, 2, m, cout)
-    d_top = out_h[:, :, 0].transpose(0, 2, 1, 3)               # [B,m,W,cout]
-    d_bot = out_h[:, :, 1].transpose(0, 2, 1, 3)[:, ::-1]      # t -> row H-1-t
-
-    x_v = jnp.concatenate([x[:, :, :1], x[:, :, -1:]], axis=-1)  # [B,H,1,2Cp]
-    k_v = jnp.concatenate([_k1(kk4[2]), _k1(kk4[3])], axis=-1)[:, None]
-    out_v = jax.lax.conv_general_dilated(
-        x_v.astype(dtype), k_v.astype(dtype), (1, 1),
-        [(m + 1, m + 1), (0, 0)], dimension_numbers=dn,
-        feature_group_count=2).reshape(b, h, 2, m, cout)
-    d_left = out_v[:, :, 0]                                    # [B,H,m,cout]
-    d_right = out_v[:, :, 1][:, :, ::-1]
-
-    y = y.at[:, :m].add(-d_top)
-    y = y.at[:, -m:].add(-d_bot)
-    y = y.at[:, :, :m].add(-d_left)
-    y = y.at[:, :, -m:].add(-d_right)
-
-    # Corner ring values were subtracted by both their row and their column
-    # correction — add each back once, all four corners in one einsum pair.
-    px4 = jnp.stack([x[:, 0, 0], x[:, 0, -1], x[:, -1, 0], x[:, -1, -1]])
-    w3c4 = jnp.stack([w3f[:, 2, 2], w3f[:, 2, 0], w3f[:, 0, 2], w3f[:, 0, 0]])
-    vec4 = _ring_vec4(px4, w3c4, cp)                           # [4,B,dCp]
-    sel4 = jnp.stack([
-        w2f[i_near_a][:, i_near_a], w2f[i_near_a][:, i_far_a],
-        w2f[i_far_a][:, i_near_a], w2f[i_far_a][:, i_far_a]])  # [4,m,m,dCp,cout]
-    delta4 = jnp.einsum("qstco,qbc->qbsto", sel4, vec4).astype(dtype)
-    y = y.at[:, :m, :m].add(delta4[0])
-    y = y.at[:, :m, -m:].add(delta4[1][:, :, ::-1])
-    y = y.at[:, -m:, :m].add(delta4[2][:, ::-1])
-    y = y.at[:, -m:, -m:].add(delta4[3][:, ::-1, ::-1])
-
-    # Bias correction: b_eff assumed the 3D-conv bias at every z tap, but the
-    # two-step path has bias only inside the image. Subtract the taps whose z
-    # position is outside (inclusion-exclusion for the corners).
-    w2b = jnp.einsum("abjpo,j->abo", w2r, b3f)                 # [k2,k2,cout]
-    rowsum, colsum = w2b.sum(1), w2b.sum(0)
-    bias_top = jnp.stack([rowsum[: m - p].sum(0) for p in range(m)])
-    bias_bot = jnp.stack([rowsum[m + 1 + t:].sum(0) for t in range(m)])
-    bias_left = jnp.stack([colsum[: m - q].sum(0) for q in range(m)])
-    bias_right = jnp.stack([colsum[m + 1 + u:].sum(0) for u in range(m)])
-    y = y.at[:, :m].add(-bias_top[None, :, None].astype(dtype))
-    y = y.at[:, -m:].add(-bias_bot[None, ::-1, None].astype(dtype))
-    y = y.at[:, :, :m].add(-bias_left[None, None].astype(dtype))
-    y = y.at[:, :, -m:].add(-bias_right[None, None, ::-1].astype(dtype))
-    bc_tl = jnp.stack([jnp.stack([w2b[: m - p, : m - q].sum((0, 1))
-                                  for q in range(m)]) for p in range(m)])
-    bc_tr = jnp.stack([jnp.stack([w2b[: m - p, m + 1 + u:].sum((0, 1))
-                                  for u in range(m)]) for p in range(m)])
-    bc_bl = jnp.stack([jnp.stack([w2b[m + 1 + t:, : m - q].sum((0, 1))
-                                  for q in range(m)]) for t in range(m)])
-    bc_br = jnp.stack([jnp.stack([w2b[m + 1 + t:, m + 1 + u:].sum((0, 1))
-                                  for u in range(m)]) for t in range(m)])
-    y = y.at[:, :m, :m].add(bc_tl[None].astype(dtype))
-    y = y.at[:, :m, -m:].add(bc_tr[None, :, ::-1].astype(dtype))
-    y = y.at[:, -m:, :m].add(bc_bl[None, ::-1].astype(dtype))
-    y = y.at[:, -m:, -m:].add(bc_br[None, ::-1, ::-1].astype(dtype))
-    return y
+    return apply_fused_kernels(x, build_fused_kernels(w3, b3, w2, b2, cp),
+                               k2, cout, dtype)
