@@ -65,8 +65,12 @@ def infer_and_save(checkpoint, inp, out, image_shape=None, half=False, save=None
 
     dtype = jnp.bfloat16 if half else jnp.float32
 
+    # variables is an ARGUMENT, not a closure: closed-over params would be
+    # baked into the compiled graph as constants — 100s of MB of HLO that
+    # the tunneled remote-compile service rejects (HTTP 413) for the larger
+    # PackNet models, and a cache miss on every weight change.
     @jax.jit
-    def depth_only(rgb):
+    def depth_only(variables, rgb):
         o, _ = model_forward(model, variables, {"rgb": rgb}, train=False)
         return o["inv_depths"][0].astype(jnp.float32)
 
@@ -74,7 +78,8 @@ def infer_and_save(checkpoint, inp, out, image_shape=None, half=False, save=None
         rgb = load_image(f)
         if image_shape is not None:
             rgb = resize_image(rgb, image_shape)
-        inv_depth = np.asarray(depth_only(jnp.asarray(rgb[None]).astype(dtype)))[0]
+        inv_depth = np.asarray(
+            depth_only(variables, jnp.asarray(rgb[None]).astype(dtype)))[0]
         if save == "npz" or save == "png":
             write_depth(os.path.splitext(o)[0] + "." + save,
                         1.0 / np.clip(inv_depth[..., 0], 1e-6, None))

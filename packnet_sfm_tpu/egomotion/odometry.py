@@ -39,8 +39,11 @@ def predict_relative_poses(model, variables, frames: np.ndarray,
     """
     n = frames.shape[0]
 
+    # variables is a jit ARGUMENT (closed-over params would be baked into
+    # the HLO as constants — rejected by the tunneled remote-compile
+    # service for large nets, and re-compiled per checkpoint).
     @jax.jit
-    def pair_poses(targets, refs):
+    def pair_poses(variables, targets, refs):
         out, _ = model_forward(
             model, variables,
             {"rgb": targets, "rgb_context": [refs, refs]}, train=False)
@@ -55,7 +58,7 @@ def predict_relative_poses(model, variables, frames: np.ndarray,
         if pad:
             t = jnp.concatenate([t, jnp.repeat(t[-1:], pad, 0)])
             r = jnp.concatenate([r, jnp.repeat(r[-1:], pad, 0)])
-        Z = np.asarray(pair_poses(t, r))
+        Z = np.asarray(pair_poses(variables, t, r))
         rels.append(Z[:e - s])
     return np.concatenate(rels, axis=0)
 
@@ -75,7 +78,7 @@ def predict_skip_poses(model, variables, frames: np.ndarray,
         return []
 
     @jax.jit
-    def pair_poses(targets, refs):
+    def pair_poses(variables, targets, refs):
         out, _ = model_forward(
             model, variables,
             {"rgb": targets, "rgb_context": [refs, refs]}, train=False)
@@ -91,7 +94,7 @@ def predict_skip_poses(model, variables, frames: np.ndarray,
         if pad:
             t = jnp.concatenate([t, jnp.repeat(t[-1:], pad, 0)])
             r = jnp.concatenate([r, jnp.repeat(r[-1:], pad, 0)])
-        Z = np.asarray(pair_poses(t, r))
+        Z = np.asarray(pair_poses(variables, t, r))
         for ci, k in enumerate(chunk):
             edges.append((k, k + stride, Z[ci], 0.7))
     return edges
