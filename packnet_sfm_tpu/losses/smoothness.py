@@ -36,11 +36,14 @@ def calc_smoothness(inv_depth: jnp.ndarray, image: jnp.ndarray):
 def smoothness_loss(inv_depths: list, images: list, weight: float) -> jnp.ndarray:
     """Multi-scale smoothness loss with 1/2^i scale decay.
 
-    Parity: reference multiview_photometric_loss.py:257-283.
+    Parity: reference multiview_photometric_loss.py:257-283 — note the
+    reference SUMS |sx|.mean() + |sy|.mean() per scale (no /2); an earlier
+    version here halved it, which halved the effective smoothness weight
+    (caught by the lockstep trajectory-parity harness, tests/test_lockstep.py).
     """
     n = len(inv_depths)
     total = 0.0
     for i in range(n):
         sx, sy = calc_smoothness(inv_depths[i], images[i])
-        total = total + (jnp.mean(jnp.abs(sx)) + jnp.mean(jnp.abs(sy))) / 2 / (2 ** i)
+        total = total + (jnp.mean(jnp.abs(sx)) + jnp.mean(jnp.abs(sy))) / (2 ** i)
     return weight * total / n

@@ -110,8 +110,11 @@ class TestPhotometric:
             jnp.asarray(image), [jnp.asarray(c) for c in context],
             [jnp.asarray(d) for d in inv_depths],
             jnp.asarray(K), [jnp.asarray(p) for p in poses], cfg)
-        # fp32 accumulation-order noise between two different graphs
-        np.testing.assert_allclose(float(ours), theirs, rtol=1e-3)
+        # fp32 accumulation-order noise between two different graphs is
+        # ~1e-7 rel (measured); 1e-5 leaves margin while still catching
+        # term-level mistakes (an earlier rtol of 1e-3 hid a factor-2
+        # smoothness-weight bug — the term is ~5e-4 of the total).
+        np.testing.assert_allclose(float(ours), theirs, rtol=1e-5)
 
     def test_gradients_finite(self):
         import jax
