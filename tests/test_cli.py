@@ -247,3 +247,13 @@ class TestOdometryBAProof:
         ate_before = absolute_trajectory_error(traj, gt, align_scale=False)
         ate_after = absolute_trajectory_error(refined, gt, align_scale=False)
         assert ate_after < ate_before * 0.9, (ate_before, ate_after)
+
+        # Pinned ABSOLUTE regression values (VERDICT r4 weak-5): everything
+        # upstream is seeded, so these only move if the chaining/BA math
+        # changes. Protocol + measured values: docs/ODOMETRY.md.
+        from packnet_sfm_tpu.egomotion.evaluation import relative_pose_error
+        np.testing.assert_allclose(ate_before, 0.2399, rtol=0.05)
+        np.testing.assert_allclose(ate_after, 0.0504, rtol=0.05)
+        rpe_t, rpe_r = relative_pose_error(refined, gt, delta=1)
+        np.testing.assert_allclose(rpe_t, 0.0313, rtol=0.05)
+        np.testing.assert_allclose(rpe_r, 1.798, rtol=0.05)
