@@ -89,8 +89,31 @@ def stacked_grid_sample(image, coords):
     return top * (1 - wy) + bot * wy
 
 
+def bench_fwd(name, fn, img, coords):
+    """Forward-only: isolates the gather cost from the backward."""
+    @jax.jit
+    def loop(im, c):
+        def body(i, carry):
+            s, cc = carry
+            out = fn(im, cc + s * 1e-20)
+            return (jnp.sum(out.astype(jnp.float32)) * 1e-9, cc)
+        out, _ = jax.lax.fori_loop(0, ITERS, body, (jnp.float32(0.0), c))
+        return out
+
+    float(loop(img, coords))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(loop(img, coords))
+        ts.append(time.perf_counter() - t0)
+    ms = min(ts) * 1000 / ITERS
+    print(f"{name:28s} {str(tuple(img.shape)):24s} {ms:7.2f} ms (fwd only)",
+          flush=True)
+    return ms
+
+
 def main():
-    from packnet_sfm_tpu.ops.warp import grid_sample
+    from packnet_sfm_tpu.ops.warp import grid_sample, grid_sample_data
 
     rng = np.random.default_rng(0)
     for h, w in ((192, 640), (96, 320)):
@@ -103,9 +126,19 @@ def main():
         coords = jnp.asarray(np.stack([un, vn], -1), jnp.float32)
         a = np.asarray(grid_sample(img, coords).astype(jnp.float32))
         bs = np.asarray(stacked_grid_sample(img, coords).astype(jnp.float32))
-        print(f"parity {h}x{w}: max|d| = {np.abs(a - bs).max():.2e}", flush=True)
+        cs = np.asarray(grid_sample_data(img, coords).astype(jnp.float32))
+        print(f"parity {h}x{w}: max|d| = {np.abs(a - bs).max():.2e} "
+              f"(custom-vjp {np.abs(a - cs).max():.2e})", flush=True)
+        # gradient parity of the custom bwd vs autodiff-through-gather
+        g_auto = jax.grad(lambda c: jnp.sum(
+            grid_sample(img, c).astype(jnp.float32)))(coords)
+        g_cust = jax.grad(lambda c: jnp.sum(
+            grid_sample_data(img, c).astype(jnp.float32)))(coords)
+        gd = float(jnp.max(jnp.abs(g_auto - g_cust)))
+        print(f"grad parity {h}x{w}: max|d| = {gd:.2e}", flush=True)
+        bench_fwd(f"fwd gather  {h}x{w}", grid_sample, img, coords)
         bench(f"grid_sample {h}x{w}", grid_sample, img, coords)
-        bench(f"stacked12  {h}x{w}", stacked_grid_sample, img, coords)
+        bench(f"custom_vjp  {h}x{w}", grid_sample_data, img, coords)
 
 
 if __name__ == "__main__":

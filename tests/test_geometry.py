@@ -182,3 +182,27 @@ class TestTorchParity:
         out = np.asarray(grid_sample(jnp.asarray(img, jnp.bfloat16),
                                      jnp.asarray(coords)).astype(jnp.float32))
         np.testing.assert_array_equal(out, ref)
+
+    def test_grid_sample_data_matches_autodiff(self):
+        """grid_sample_data (image-as-DATA custom_vjp): forward bitwise-equal
+        to grid_sample, coordinate gradients equal to autodiff-through-gather
+        (f32; the custom bwd differences taps in f32 to match autodiff's
+        promoted precision). Measured negative result on speed is recorded in
+        ops/warp.py and docs/bench_warp_probe.py."""
+        import jax
+        from packnet_sfm_tpu.ops.warp import grid_sample, grid_sample_data
+
+        rng = np.random.default_rng(9)
+        img = rng.normal(size=(2, 12, 16, 3)).astype(np.float32)
+        coords = rng.uniform(-1.3, 1.3, size=(2, 10, 14, 2)).astype(np.float32)
+        a = grid_sample(jnp.asarray(img), jnp.asarray(coords))
+        b = grid_sample_data(jnp.asarray(img), jnp.asarray(coords))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        g_auto = jax.grad(lambda c: jnp.sum(grid_sample(jnp.asarray(img), c)))(
+            jnp.asarray(coords))
+        g_cust = jax.grad(
+            lambda c: jnp.sum(grid_sample_data(jnp.asarray(img), c)))(
+            jnp.asarray(coords))
+        np.testing.assert_allclose(np.asarray(g_cust), np.asarray(g_auto),
+                                   atol=1e-5)
