@@ -185,12 +185,18 @@ class PackNetBase(nn.Module):
 
     @nn.compact
     def __call__(self, rgb: jnp.ndarray, *, train: bool = True) -> list:
-        # Optional recompute-in-backward for the pack/unpack layers. With the
-        # fold-conv fusion (fuse=True) their big d*Cp intermediates no longer
+        # Optional recompute-in-backward. With the fold-conv fusion
+        # (fuse=True) the pack layers' big d*Cp intermediates no longer
         # exist, so remat defaults OFF (measured +19% step time for HBM we
         # don't need at 192x640 b4). Enable for HR/large-batch configs.
+        # Coverage includes the full-resolution Conv2dBlocks and disp heads:
+        # at 384x1280 their ELU/conv temps are the top HBM buffers (362 MB
+        # each at b3 — XLA space-to-batches the big convs into a layout
+        # whose 64-channel lane dim pads 2x; see docs/STATUS.md round 5).
         Pack = nn.remat(PackLayerConv3d) if self.remat else PackLayerConv3d
         Unpack = nn.remat(UnpackLayerConv3d) if self.remat else UnpackLayerConv3d
+        Conv2dBlockR = nn.remat(Conv2dBlock) if self.remat else Conv2dBlock
+        InvDepthHeadR = nn.remat(InvDepthHead) if self.remat else InvDepthHead
         v = self.version
         no = self.out_channels
         ni = self.ni
@@ -215,10 +221,10 @@ class PackNetBase(nn.Module):
         else:
             raise ValueError(f"Unknown PackNet version {v}")
 
-        x = Conv2dBlock(ni, 5, 1, self.dtype, name="pre_calc")(rgb)
+        x = Conv2dBlockR(ni, 5, 1, self.dtype, name="pre_calc")(rgb)
 
         # Encoder: conv_i -> pack_i
-        x1 = Conv2dBlock(n1, 7, 1, self.dtype, name="conv1")(x)
+        x1 = Conv2dBlockR(n1, 7, 1, self.dtype, name="conv1")(x)
         x1p = Pack(n1, pack_kernel[0], d=d, dtype=self.dtype, fuse=self.fuse, mode=self.pack_mode, name="pack1")(x1)
         x2 = ResidualBlock(n2, self.num_blocks[0], 1, self.dropout, self.dtype, name="conv2")(x1p, train=train)
         x2p = Pack(n2, pack_kernel[1], d=d, dtype=self.dtype, fuse=self.fuse, mode=self.pack_mode, name="pack2")(x2)
@@ -236,32 +242,32 @@ class PackNetBase(nn.Module):
 
         # Decoder
         unpack5 = Unpack(n5o, unpack_kernel[0], d=d, dtype=self.dtype, name="unpack5")(x5p)
-        iconv5 = Conv2dBlock(n5, iconv_kernel[0], 1, self.dtype, name="iconv5")(merge(unpack5, skip5))
+        iconv5 = Conv2dBlockR(n5, iconv_kernel[0], 1, self.dtype, name="iconv5")(merge(unpack5, skip5))
 
         unpack4 = Unpack(n4o, unpack_kernel[1], d=d, dtype=self.dtype, name="unpack4")(iconv5)
-        iconv4 = Conv2dBlock(n4, iconv_kernel[1], 1, self.dtype, name="iconv4")(merge(unpack4, skip4))
-        disp4 = InvDepthHead(no, dtype=self.dtype, name="disp4")(iconv4)
+        iconv4 = Conv2dBlockR(n4, iconv_kernel[1], 1, self.dtype, name="iconv4")(merge(unpack4, skip4))
+        disp4 = InvDepthHeadR(no, dtype=self.dtype, name="disp4")(iconv4)
         udisp4 = interpolate_image(disp4, (disp4.shape[1] * 2, disp4.shape[2] * 2), mode="nearest")
 
         unpack3 = Unpack(n3o, unpack_kernel[2], d=d, dtype=self.dtype, name="unpack3")(iconv4)
         concat3 = jnp.concatenate([merge(unpack3, skip3), udisp4], axis=-1) if v == "B" else \
             jnp.concatenate([unpack3, skip3, udisp4], axis=-1)
-        iconv3 = Conv2dBlock(n3, iconv_kernel[2], 1, self.dtype, name="iconv3")(concat3)
-        disp3 = InvDepthHead(no, dtype=self.dtype, name="disp3")(iconv3)
+        iconv3 = Conv2dBlockR(n3, iconv_kernel[2], 1, self.dtype, name="iconv3")(concat3)
+        disp3 = InvDepthHeadR(no, dtype=self.dtype, name="disp3")(iconv3)
         udisp3 = interpolate_image(disp3, (disp3.shape[1] * 2, disp3.shape[2] * 2), mode="nearest")
 
         unpack2 = Unpack(n2o, unpack_kernel[3], d=d, dtype=self.dtype, name="unpack2")(iconv3)
         concat2 = jnp.concatenate([merge(unpack2, skip2), udisp3], axis=-1) if v == "B" else \
             jnp.concatenate([unpack2, skip2, udisp3], axis=-1)
-        iconv2 = Conv2dBlock(n2, iconv_kernel[3], 1, self.dtype, name="iconv2")(concat2)
-        disp2 = InvDepthHead(no, dtype=self.dtype, name="disp2")(iconv2)
+        iconv2 = Conv2dBlockR(n2, iconv_kernel[3], 1, self.dtype, name="iconv2")(concat2)
+        disp2 = InvDepthHeadR(no, dtype=self.dtype, name="disp2")(iconv2)
         udisp2 = interpolate_image(disp2, (disp2.shape[1] * 2, disp2.shape[2] * 2), mode="nearest")
 
         unpack1 = Unpack(n1o, unpack_kernel[4], d=d, dtype=self.dtype, name="unpack1")(iconv2)
         concat1 = jnp.concatenate([merge(unpack1, skip1), udisp2], axis=-1) if v == "B" else \
             jnp.concatenate([unpack1, skip1, udisp2], axis=-1)
-        iconv1 = Conv2dBlock(n1, iconv_kernel[4], 1, self.dtype, name="iconv1")(concat1)
-        disp1 = InvDepthHead(no, dtype=self.dtype, name="disp1")(iconv1)
+        iconv1 = Conv2dBlockR(n1, iconv_kernel[4], 1, self.dtype, name="iconv1")(concat1)
+        disp1 = InvDepthHeadR(no, dtype=self.dtype, name="disp1")(iconv1)
 
         return [disp1, disp2, disp3, disp4]
 
