@@ -83,8 +83,10 @@ def run_once() -> float:
 
 
 def run_hr_once() -> float:
-    """HR 384x1280 row (reference README.md:191 velsup-HR proxy): remat on,
-    grad-accum so the OPTIMIZER batch is 4 while microbatches fit HBM."""
+    """HR 384x1280 row (reference README.md:191 velsup-HR proxy): extended
+    remat (round 5) fits batch 4 directly — 5.74 imgs/s/chip vs 5.14 for
+    2x b2 grad-accum microbatches, so accum defaults to 1. Set
+    PN_BENCH_HR_ACCUM=2 to exercise the microbatch path."""
     from packnet_sfm_tpu.engine.factory import make_optimizer, setup_model
     from packnet_sfm_tpu.engine.train import (
         TrainState, make_train_step, replicate_state, zero_metrics)
@@ -92,7 +94,7 @@ def run_hr_once() -> float:
     from packnet_sfm_tpu.parallel.mesh import make_mesh, shard_batch
 
     hr_batch = int(os.environ.get("PN_BENCH_HR_BATCH", "4"))
-    accum = int(os.environ.get("PN_BENCH_HR_ACCUM", "2"))
+    accum = int(os.environ.get("PN_BENCH_HR_ACCUM", "1"))
     h, w = 384, 1280
     cfg, _ = _flagship_model()
     cfg.arch.dtype = "bfloat16"

@@ -91,14 +91,19 @@ class ModelCheckpoint:
                 return None
         name = f"epoch={epoch:02d}_{self.monitor.replace('/', '-')}={value:.3f}.ckpt"
         path = os.path.join(self.dirpath, name)
+        # All processes enter (metrics are globally reduced, so the top-k
+        # decision is identical everywhere); save_checkpoint guards the
+        # filesystem writes to rank 0 and coordinates orbax's barriers.
         save_checkpoint(path, state, config, epoch, value)
         self._saved.append((value, path))
         self._saved.sort(key=lambda kv: kv[0], reverse=(self.mode == "max"))
         while self.save_top_k > 0 and len(self._saved) > self.save_top_k:
             _, old = self._saved.pop()
-            shutil.rmtree(old, ignore_errors=True)
+            if jax.process_index() == 0:
+                shutil.rmtree(old, ignore_errors=True)
         self._saves += 1
-        if self.s3_path and self._saves % max(self.s3_frequency, 1) == 0:
+        if (self.s3_path and jax.process_index() == 0
+                and self._saves % max(self.s3_frequency, 1) == 0):
             self._s3_sync()
         return path
 
@@ -106,17 +111,30 @@ class ModelCheckpoint:
 def save_checkpoint(path: str, state, config: Dict, epoch: int,
                     monitor_value: float = 0.0) -> str:
     """Write a checkpoint directory: orbax state + meta.json (embedded config,
-    reference utils/config.py:216-220 capability)."""
+    reference utils/config.py:216-220 capability).
+
+    Multi-process: EVERY process must call this (orbax synchronizes all
+    processes internally during save — a rank-0-only call hangs in that
+    barrier while the other ranks exit; caught by the distributed
+    preemption test). Filesystem mutations happen on process 0 only.
+    """
     path = os.path.abspath(path)
-    if os.path.exists(path):
+    primary = jax.process_index() == 0
+    if primary and os.path.exists(path):
         shutil.rmtree(path)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        # the rmtree must land before any process lets orbax recreate it
+        multihost_utils.sync_global_devices(f"pn_ckpt_pre_save:{path}")
     ckpt = ocp.StandardCheckpointer()
     ckpt.save(os.path.join(path, "state"), jax.device_get(state))
     ckpt.wait_until_finished()
-    meta = {"config": config, "epoch": epoch, "monitor_value": monitor_value,
-            "step": int(jax.device_get(state.step))}
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(meta, f, indent=2, default=str)
+    if primary:
+        meta = {"config": config, "epoch": epoch,
+                "monitor_value": monitor_value,
+                "step": int(jax.device_get(state.step))}
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=2, default=str)
     return path
 
 

@@ -219,9 +219,22 @@ class Trainer:
         acc = zero_metrics()
         images = 0
         t0 = time.perf_counter()
+        # Multi-process preemption must be AGREED: the SIGTERM lands on one
+        # process, but all processes have to leave at the same batch boundary
+        # or the survivors deadlock on the next collective. The tiny flag
+        # allgather runs every `preempt_sync_every` batches (default 8) so
+        # the per-step pipeline stays collective-free between checks.
+        sync_every = max(int(self.config.arch.get("preempt_sync_every", 8)), 1)
+        multiproc = jax.process_count() > 1
+        from packnet_sfm_tpu.parallel.mesh import any_process_flag
         for loader in self.train_loaders:
-            for batch in loader.epoch(epoch):
-                if self._preempt_requested:
+            for bi, batch in enumerate(loader.epoch(epoch)):
+                if multiproc:
+                    if bi % sync_every == 0 and any_process_flag(
+                            self._preempt_requested):
+                        self._preempt_requested = True
+                        break
+                elif self._preempt_requested:
                     break
                 sharded = shard_batch(_device_batch(batch), self.mesh)
                 self.state, acc = step_fn(self.state, acc, sharded, progress)
@@ -369,17 +382,22 @@ class Trainer:
 
     def _emergency_save(self, epoch: int) -> Optional[str]:
         """Checkpoint the live state mid-run so the interrupted epoch can be
-        redone on re-launch (`train <path>` restores config+state+epoch)."""
-        if jax.process_index() != 0:
-            return None
+        redone on re-launch (`train <path>` restores config+state+epoch).
+
+        Runs on ALL processes: orbax synchronizes every process during a
+        save, so a rank-0-only call would hang in that barrier while the
+        other ranks exit (caught by the distributed preemption test);
+        save_checkpoint itself keeps filesystem writes on rank 0.
+        """
         from packnet_sfm_tpu.engine.checkpoint import save_checkpoint
         ckpt_dir = (self.config.checkpoint.get("filepath")
                     or os.path.join(tempfile.gettempdir(), "packnet_sfm_preempt"))
         path = os.path.join(ckpt_dir, f"preempt_epoch={epoch:02d}.ckpt")
         # resume() restores at meta.epoch + 1, so record epoch-1 to redo it
         save_checkpoint(path, self.state, self.config.to_dict(), epoch - 1)
-        print(f"### Preempted: saved {path}; resume with `cli.train {path}`",
-              flush=True)
+        if jax.process_index() == 0:
+            print(f"### Preempted: saved {path}; resume with `cli.train {path}`",
+                  flush=True)
         return path
 
     def fit(self):
@@ -397,7 +415,13 @@ class Trainer:
             train_metrics = self.train_epoch(epoch)
             if self.profile_dir and epoch == 1:
                 jax.profiler.stop_trace()
-            if self._preempt_requested:
+            # Agree again at the epoch boundary: a signal landing after the
+            # loop's last sync point would otherwise drain one process while
+            # the others enter validation's collectives (deadlock). Every
+            # process reaches this point (the in-loop drain is agreed).
+            from packnet_sfm_tpu.parallel.mesh import any_process_flag
+            if any_process_flag(self._preempt_requested):
+                self._preempt_requested = True
                 self._emergency_save(epoch)
                 return
             val_metrics = self.validate(epoch)
@@ -412,7 +436,10 @@ class Trainer:
                         for mi, name in enumerate(METRIC_NAMES):
                             logged[f"val{di}/{m}/{name}"] = float(res[m][mi])
                 self.logger.log_metrics(logged, step)
-            if self.checkpoint is not None and jax.process_index() == 0:
+            # every process calls check_and_save (metrics are globally
+            # reduced, so the decision is identical; the orbax save requires
+            # all processes — see engine/checkpoint.save_checkpoint)
+            if self.checkpoint is not None:
                 flat = {"loss": train_metrics.get("loss", 0.0)}
                 for di, res in enumerate(val_metrics):
                     for m in EVAL_MODES:

@@ -79,6 +79,24 @@ def all_reduce_host_sum(tree):
     return jax.tree_util.tree_map(red, tree)
 
 
+def any_process_flag(flag: bool) -> bool:
+    """True iff ``flag`` is set on ANY process (single-process: identity).
+
+    Used to agree on preemption across processes: a SIGTERM lands on ONE
+    process, but every process must leave the train loop at the SAME batch
+    boundary or the next collective deadlocks (the survivors wait on a step
+    the preempted process never joins). All processes must call this at the
+    same point.
+    """
+    if jax.process_count() <= 1:
+        return flag
+    from jax.experimental import multihost_utils
+
+    total = multihost_utils.process_allgather(
+        np.asarray([1.0 if flag else 0.0], np.float32))
+    return bool(np.asarray(total).sum() > 0)
+
+
 def shard_batch(batch, mesh: Mesh):
     """Commit every batch leaf sharded on its leading (batch) axis.
 

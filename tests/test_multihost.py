@@ -83,3 +83,86 @@ def test_two_process_step_matches_single_process(tmp_path):
 
     assert abs(results[0]["loss"] - ref_loss) < 1e-4 * max(abs(ref_loss), 1e-3), \
         (results[0]["loss"], ref_loss)
+
+
+@pytest.mark.slow
+def test_distributed_preemption_drains_both(tmp_path):
+    """SIGTERM ONE of two jax.distributed processes mid-epoch (SURVEY §5.3 /
+    VERDICT r4 weak-6): the agreed-drain protocol must bring BOTH processes
+    to a clean exit (a one-sided drain deadlocks the next collective), land
+    an emergency checkpoint on rank 0, and the 2-process resume from that
+    checkpoint must finish the interrupted run."""
+    import signal
+    import time
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(root, "tests", "preempt_worker.py")
+
+    def launch(mode, ckpt=""):
+        port = _free_port()
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+        procs, logs = [], []
+        for pid in range(2):
+            log = open(tmp_path / f"{mode}_worker{pid}.log", "wb")
+            logs.append(log)
+            args = [sys.executable, script, str(pid), "2",
+                    f"localhost:{port}", str(tmp_path), mode]
+            if ckpt:
+                args.append(ckpt)
+            procs.append(subprocess.Popen(
+                args, env=env, stdout=log, stderr=subprocess.STDOUT))
+        return procs, logs
+
+    procs, logs = launch("train")
+    # Wait until worker 0 is actually training (model initialized), then a
+    # little longer so the signal lands inside epoch 0's batch loop.
+    log0 = tmp_path / "train_worker0.log"
+    deadline = time.time() + 600
+    while time.time() < deadline:
+        if log0.exists() and b"Initialized model" in log0.read_bytes():
+            break
+        if procs[0].poll() is not None:
+            break
+        time.sleep(2)
+    else:
+        pytest.fail("worker 0 never started training")
+    time.sleep(8)
+    procs[0].send_signal(signal.SIGTERM)  # ONE process only
+
+    for p in procs:
+        try:
+            p.wait(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("drain deadlocked: a worker did not exit after the "
+                        "one-sided SIGTERM")
+    for log in logs:
+        log.close()
+    for pid, p in enumerate(procs):
+        out = (tmp_path / f"train_worker{pid}.log").read_text()
+        assert p.returncode == 0, f"worker {pid} rc={p.returncode}:\n{out[-3000:]}"
+
+    ckpts = list((tmp_path / "ckpt").glob("preempt_epoch=*.ckpt"))
+    assert ckpts, "no emergency checkpoint written by rank 0"
+
+    # 2-process resume completes the interrupted run end-to-end.
+    procs, logs = launch("resume", ckpt=str(ckpts[0]))
+    for p in procs:
+        try:
+            p.wait(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("resume run hung")
+    for log in logs:
+        log.close()
+    for pid, p in enumerate(procs):
+        out = (tmp_path / f"resume_worker{pid}.log").read_text()
+        assert p.returncode == 0, f"resume worker {pid} rc={p.returncode}:\n{out[-3000:]}"
+        assert (tmp_path / f"done_resume_{pid}").exists()
+    assert list((tmp_path / "ckpt").glob("epoch=00_*.ckpt")), \
+        "resumed run produced no epoch checkpoint"

